@@ -1,0 +1,105 @@
+"""End-to-end data pipeline tests on the synthetic swipelogs zip."""
+
+import numpy as np
+import pytest
+
+from wordgesture_gan_tpu.configs import ModelConfig, TrainingConfig
+from wordgesture_gan_tpu.data import (
+    create_train_test_split,
+    load_dataset_from_zip,
+)
+from wordgesture_gan_tpu.keyboard import QWERTYKeyboard
+
+
+@pytest.fixture(scope="module")
+def loaded(synthetic_zip):
+    kb = QWERTYKeyboard()
+    gestures, protos = load_dataset_from_zip(
+        synthetic_zip, kb, ModelConfig(), TrainingConfig(), use_cache=False, verbose=False
+    )
+    return gestures, protos
+
+
+def test_load_dataset_shapes(loaded):
+    gestures, protos = loaded
+    assert len(gestures) > 10
+    assert set(gestures) == set(protos)
+    for word, gs in gestures.items():
+        assert len(gs) <= TrainingConfig().max_samples_per_word
+        for g in gs:
+            assert g.shape == (128, 3)
+            # clip against float64 bounds promotes (same as reference
+            # data.py:413); split arrays cast back to float32
+            # canonical clip range
+            assert g[:, 0].min() >= -1 and g[:, 0].max() <= 1
+            assert g[:, 1].min() >= -1 and g[:, 1].max() <= 1
+            assert g[:, 2].min() >= 0 and g[:, 2].max() <= 1
+        assert protos[word].shape == (128, 3)
+
+
+def test_canonical_alignment_recovers_keys(loaded):
+    """Synthetic traces are min-jerk paths through key centers rendered in
+    pixels; after canonical alignment, gesture start points should land near
+    the first letter's key center."""
+    gestures, _ = loaded
+    kb = QWERTYKeyboard()
+    errs = []
+    for word, gs in gestures.items():
+        c = kb.get_key_center(word[0])
+        if c is None:
+            continue
+        for g in gs:
+            errs.append(np.linalg.norm(g[0, :2] - np.array(c)))
+    assert np.median(errs) < 0.15
+
+
+def test_cache_roundtrip(synthetic_zip, tmp_path):
+    import shutil
+    zip_copy = tmp_path / "swipelogs.zip"
+    shutil.copy(synthetic_zip, zip_copy)
+    kb = QWERTYKeyboard()
+    g1, p1 = load_dataset_from_zip(str(zip_copy), kb, use_cache=True, verbose=False)
+    caches = list(tmp_path.glob(".cache_*"))
+    assert len(caches) == 1
+    g2, p2 = load_dataset_from_zip(str(zip_copy), kb, use_cache=True, verbose=False)
+    assert set(g1) == set(g2)
+    for w in g1:
+        assert len(g1[w]) == len(g2[w])
+        np.testing.assert_array_equal(g1[w][0], g2[w][0])
+        np.testing.assert_array_equal(p1[w], p2[w])
+
+
+def test_split_no_word_overlap(loaded):
+    gestures, protos = loaded
+    train, test = create_train_test_split(gestures, protos, 0.8, seed=42, verbose=False)
+    assert set(train.words).isdisjoint(set(test.words))
+    assert len(train) + len(test) == sum(len(v) for v in gestures.values())
+    assert train.gestures.shape[1:] == (128, 3)
+    assert train.prototypes.shape == train.gestures.shape
+    # deterministic given the seed
+    train2, test2 = create_train_test_split(gestures, protos, 0.8, seed=42, verbose=False)
+    assert train.words == train2.words
+    np.testing.assert_array_equal(train.gestures, train2.gestures)
+    # item API parity
+    item = train[0]
+    assert set(item) == {"gesture", "prototype", "word"}
+
+
+def test_split_matches_reference_partition(loaded):
+    """The word-level partition uses the same seeded stdlib shuffle as the
+    reference (data.py:464-473), so given identical inputs the train/test
+    word sets must match the reference's split exactly."""
+    import sys
+    from pathlib import Path
+    if not Path("/root/reference").exists():
+        pytest.skip("reference not available")
+    sys.path.insert(0, "/root/reference")
+    try:
+        from src.shared.data import create_train_test_split as ref_split
+        gestures, protos = loaded
+        ours_train, ours_test = create_train_test_split(gestures, protos, 0.8, seed=42, verbose=False)
+        ref_train, ref_test = ref_split(gestures, protos, 0.8, seed=42)
+        assert set(ours_train.words) == set(ref_train.words)
+        assert set(ours_test.words) == set(ref_test.words)
+    finally:
+        sys.path.remove("/root/reference")

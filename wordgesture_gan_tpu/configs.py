@@ -1,0 +1,180 @@
+"""Configuration dataclasses for the TPU-native WordGesture-GAN framework.
+
+Field-for-field parity with the reference configuration surface
+(/root/reference/src/shared/config.py:11-121 and
+/root/reference/src/contrastive/model.py:19-45), plus a TPU-specific
+``RuntimeConfig`` describing the device mesh / sharding / precision knobs that
+have no reference equivalent (the reference is single-GPU PyTorch).
+
+All configs are frozen so they can be closed over by jitted functions as
+static hashable values.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Tuple
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """GAN model architecture configuration (reference config.py:11-33)."""
+
+    # Sequence parameters
+    seq_length: int = 128          # points per gesture trace
+    input_dim: int = 3             # (x, y, t)
+
+    # Latent space
+    latent_dim: int = 32
+
+    # Generator (bidirectional LSTM)
+    gen_hidden_dim: int = 48
+    gen_num_layers: int = 4
+
+    # Discriminator (MLP variant)
+    disc_hidden_dims: Tuple[int, ...] = (192, 96, 48, 24)
+    use_temporal_disc: bool = True   # Conv1D temporal critic instead of MLP
+
+    # Prototype input: when False the generator only sees (x, y) and must
+    # learn timing from spatial curvature (reference config.py:30).
+    prototype_has_time: bool = False
+
+    # Variational encoder (MLP)
+    enc_hidden_dims: Tuple[int, ...] = (192, 96, 48, 32)
+
+
+@dataclass(frozen=True)
+class TrainingConfig:
+    """GAN training configuration (reference config.py:36-66)."""
+
+    batch_size: int = 512
+    learning_rate: float = 2e-4
+    num_epochs: int = 200
+
+    # WGAN: critic updates per generator update
+    n_critic: int = 5
+
+    # Cosine-annealing floor
+    lr_scheduler_eta_min: float = 1e-5
+
+    # Per-model global-norm gradient clipping (0 disables)
+    grad_clip_norm: float = 1.0
+
+    # Loss weights (paper Section 4.2)
+    lambda_feat: float = 1.0
+    lambda_rec: float = 4.0
+    lambda_lat: float = 0.5
+    lambda_kld: float = 0.02
+
+    # Dataset balancing / split
+    max_samples_per_word: int = 5
+    train_ratio: float = 0.8
+
+    # Checkpointing / logging cadence
+    save_every: int = 10
+    log_every: int = 100
+
+
+@dataclass(frozen=True)
+class EvaluationConfig:
+    """Evaluation configuration (reference config.py:69-88)."""
+
+    n_samples: int = 2000
+    truncation: float = 1.0
+
+    # FID feature autoencoder
+    fid_autoencoder_epochs: int = 100
+    fid_autoencoder_lr: float = 1e-3
+    fid_hidden_dim: int = 32
+
+    # k-NN manifold precision/recall
+    precision_recall_k: int = 3
+
+    # Savitzky-Golay jerk filter
+    savgol_window: int = 21
+    savgol_poly_order: int = 3
+
+
+@dataclass(frozen=True)
+class KeyboardConfig:
+    """Virtual QWERTY layout (reference config.py:100-113)."""
+
+    width: float = 1.0
+    height: float = 1.0
+    rows: Tuple[str, ...] = ("qwertyuiop", "asdfghjkl", "zxcvbnm")
+    row_offsets: Tuple[float, ...] = (0.0, 0.05, 0.15)
+    key_width: float = 0.1
+    key_height: float = 0.333
+
+
+@dataclass(frozen=True)
+class ContrastiveConfig:
+    """Contrastive gesture encoder configuration
+    (reference src/contrastive/model.py:19-45)."""
+
+    embedding_dim: int = 64
+    lstm_hidden_dim: int = 64      # kept for config parity; encoder is a CNN
+    num_lstm_layers: int = 2
+
+    temperature: float = 0.07
+
+    learning_rate: float = 1e-3
+    batch_words: int = 32
+    gestures_per_word: int = 2
+    num_epochs: int = 100
+
+    use_cosine_annealing: bool = True
+    eta_min: float = 1e-5
+
+    seq_length: int = 128
+    input_dim: int = 3
+
+
+@dataclass(frozen=True)
+class PathsConfig:
+    """Local run paths (replaces the reference ModalConfig, config.py:92-97 —
+    no remote sandbox indirection on the TPU host)."""
+
+    checkpoint_dir: str = "checkpoints"
+    data_path: str = "dataset/swipelogs.zip"
+    cache_dir: str = ""            # "" → alongside the zip
+    wandb_project: str = "wordgesture-gan-tpu"
+    random_seed: int = 42
+
+
+@dataclass(frozen=True)
+class RuntimeConfig:
+    """TPU runtime: mesh shape, precision, and step-fusion knobs.
+
+    No reference equivalent — the reference trains on one CUDA device
+    (src/gan/trainer.py:37). Here the train step is jit-compiled over a
+    1-D ``data`` mesh axis; gradients are all-reduced over ICI by XLA.
+    """
+
+    # Number of devices on the data-parallel mesh axis (-1 → all local devices)
+    data_axis_size: int = -1
+    mesh_axis_names: Tuple[str, ...] = ("data",)
+
+    # Compute dtype for matmuls inside the step (params stay f32)
+    compute_dtype: str = "bfloat16"
+
+    # Fuse the whole epoch into one XLA computation via lax.scan over batches
+    scan_epoch: bool = True
+
+    # Donate train state buffers to the step for in-place updates
+    donate_state: bool = True
+
+
+DEFAULT_MODEL_CONFIG = ModelConfig()
+DEFAULT_TRAINING_CONFIG = TrainingConfig()
+DEFAULT_EVALUATION_CONFIG = EvaluationConfig()
+DEFAULT_KEYBOARD_CONFIG = KeyboardConfig()
+DEFAULT_CONTRASTIVE_CONFIG = ContrastiveConfig()
+DEFAULT_PATHS_CONFIG = PathsConfig()
+DEFAULT_RUNTIME_CONFIG = RuntimeConfig()
+
+
+def asdict(cfg) -> dict:
+    """Dataclass → plain dict (for logging / checkpointa metadata)."""
+    return dataclasses.asdict(cfg)

@@ -1,0 +1,219 @@
+"""Dataset loading pipeline: zip → parse → normalize → canonical align →
+cache → word-level split → device-resident arrays.
+
+Mirrors the reference pipeline (/root/reference/src/shared/data.py:334-543)
+with one structural change: instead of a PyTorch ``DataLoader`` with worker
+processes, the split materializes flat (N, L, 3) float32 arrays that live on
+device for the whole run; per-epoch shuffling is an on-device permutation
+(see ``wordgesture_gan_tpu.train.gan_loop``). That removes the host↔device
+per-batch copy from the training hot path entirely.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import pickle
+import random
+import zipfile
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..configs import (
+    DEFAULT_MODEL_CONFIG,
+    DEFAULT_TRAINING_CONFIG,
+    ModelConfig,
+    TrainingConfig,
+)
+from ..keyboard import QWERTYKeyboard
+from .parse import parse_log_file
+from .preprocess import (
+    apply_canonical_transform,
+    compute_canonical_transform,
+    infer_key_positions,
+    normalize_gesture,
+)
+
+
+def _cache_path(zip_path: str, model_config: ModelConfig, training_config: TrainingConfig) -> Path:
+    """Preprocessing cache keyed by (seq_length, max_samples_per_word), next to
+    the zip (reference data.py:326-331; `.npz.pkl` instead of torch `.pt`)."""
+    key = f"{model_config.seq_length}_{training_config.max_samples_per_word}"
+    digest = hashlib.md5(key.encode()).hexdigest()[:8]
+    p = Path(zip_path)
+    return p.parent / f".cache_{p.stem}_{digest}.pkl"
+
+
+def load_dataset_from_zip(
+    zip_path: str,
+    keyboard: QWERTYKeyboard,
+    model_config: ModelConfig = DEFAULT_MODEL_CONFIG,
+    training_config: TrainingConfig = DEFAULT_TRAINING_CONFIG,
+    max_files: Optional[int] = None,
+    use_cache: bool = True,
+    verbose: bool = True,
+) -> Tuple[Dict[str, List[np.ndarray]], Dict[str, np.ndarray]]:
+    """Load and preprocess the swipelog dataset (reference data.py:334-441).
+
+    Steps: parse every ``.log`` member; normalize + arc-length-resample each
+    trace; infer key positions from start/end medians; least-squares fit the
+    canonical transform; apply + clip all gestures to ([-1,-1,0],[1,1,1]);
+    cap samples per word (seeded ``random.sample``); build one prototype per
+    word. The full result is cached on disk.
+
+    Returns:
+        (gestures_by_word, prototypes_by_word)
+    """
+    say = print if verbose else (lambda *a, **k: None)
+
+    if use_cache and max_files is None:
+        cpath = _cache_path(zip_path, model_config, training_config)
+        if cpath.exists():
+            say(f"Loading preprocessed data from cache: {cpath}")
+            with open(cpath, "rb") as f:
+                cached = pickle.load(f)
+            return cached["gestures_by_word"], cached["prototypes_by_word"]
+
+    gestures_by_word: Dict[str, List[np.ndarray]] = {}
+    n_files = 0
+
+    with zipfile.ZipFile(zip_path, "r") as zf:
+        log_files = [m for m in zf.namelist() if m.endswith(".log")]
+        if max_files:
+            log_files = log_files[:max_files]
+
+        for member in log_files:
+            try:
+                content = zf.read(member).decode("utf-8", errors="ignore")
+            except Exception as e:  # corrupt member: skip, keep going
+                say(f"Error processing {member}: {e}")
+                continue
+            for word, raw_list in parse_log_file(content).items():
+                bucket = gestures_by_word.setdefault(word, [])
+                for raw in raw_list:
+                    bucket.append(normalize_gesture(raw, model_config.seq_length))
+            n_files += 1
+            if n_files % 100 == 0:
+                say(f"Processed {n_files} files...")
+
+    say(f"Processed {n_files} log files; {len(gestures_by_word)} unique words")
+
+    # Canonical alignment: fit once on inferred key positions, apply to all.
+    inferred = infer_key_positions(gestures_by_word)
+    transform = compute_canonical_transform(inferred, keyboard)
+    say(
+        f"Canonical transform: scale=({transform['scale_x']:.4f}, {transform['scale_y']:.4f}), "
+        f"offset=({transform['offset_x']:.4f}, {transform['offset_y']:.4f})"
+    )
+    lo, hi = np.array([-1, -1, 0]), np.array([1, 1, 1])
+    for word, gestures in gestures_by_word.items():
+        gestures_by_word[word] = [
+            np.clip(apply_canonical_transform(g, transform), lo, hi) for g in gestures
+        ]
+
+    # Balance: cap samples per word (reference uses stdlib random.sample).
+    cap = training_config.max_samples_per_word
+    for word, gestures in gestures_by_word.items():
+        if len(gestures) > cap:
+            gestures_by_word[word] = random.sample(gestures, cap)
+
+    prototypes_by_word = {
+        word: keyboard.get_word_prototype(word, model_config.seq_length)
+        for word in gestures_by_word
+    }
+
+    if use_cache and max_files is None:
+        cpath = _cache_path(zip_path, model_config, training_config)
+        say(f"Saving preprocessed data to cache: {cpath}")
+        with open(cpath, "wb") as f:
+            pickle.dump(
+                {"gestures_by_word": gestures_by_word, "prototypes_by_word": prototypes_by_word},
+                f,
+                protocol=pickle.HIGHEST_PROTOCOL,
+            )
+
+    return gestures_by_word, prototypes_by_word
+
+
+@dataclass
+class GestureArrays:
+    """Flat device-friendly dataset view: stacked gestures + prototypes with
+    aligned word labels. Replaces the reference's map-style ``GestureDataset``
+    (data.py:128-164) — batches are array slices, not per-item dict fetches.
+    """
+
+    gestures: np.ndarray            # (N, L, 3) float32
+    prototypes: np.ndarray          # (N, L, 3) float32
+    words: List[str]
+    word_ids: np.ndarray = field(default=None)  # (N,) int32 labels
+
+    def __post_init__(self):
+        if self.word_ids is None:
+            vocab = {}
+            ids = np.empty(len(self.words), dtype=np.int32)
+            for i, w in enumerate(self.words):
+                ids[i] = vocab.setdefault(w, len(vocab))
+            self.word_ids = ids
+
+    def __len__(self) -> int:
+        return len(self.gestures)
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        # Reference-parity item API (data.py:157-164).
+        return {
+            "gesture": self.gestures[idx],
+            "prototype": self.prototypes[idx],
+            "word": self.words[idx],
+        }
+
+
+# Alias mirroring the reference class name.
+GestureDataset = GestureArrays
+
+
+def create_train_test_split(
+    gestures_by_word: Dict[str, List[np.ndarray]],
+    prototypes_by_word: Dict[str, np.ndarray],
+    train_ratio: float = 0.8,
+    seed: int = 42,
+    verbose: bool = True,
+) -> Tuple[GestureArrays, GestureArrays]:
+    """Word-level 80/20 split with a seeded shuffle — no word overlap between
+    train and test (reference data.py:444-505). Uses the same stdlib
+    ``random.shuffle`` stream so the word partition matches the reference for
+    a given seed and word set."""
+    random.seed(seed)
+    np.random.seed(seed)
+
+    words = list(gestures_by_word.keys())
+    random.shuffle(words)
+    split = int(len(words) * train_ratio)
+    train_words, test_words = set(words[:split]), set(words[split:])
+    if verbose:
+        print(f"Training words: {len(train_words)}, Test words: {len(test_words)}")
+
+    def build(word_set) -> GestureArrays:
+        g_list, p_list, w_list = [], [], []
+        for word in word_set:
+            proto = prototypes_by_word[word]
+            for gesture in gestures_by_word[word]:
+                g_list.append(gesture)
+                p_list.append(proto)
+                w_list.append(word)
+        if not g_list:
+            L = next(iter(prototypes_by_word.values())).shape[0] if prototypes_by_word else 128
+            return GestureArrays(
+                np.zeros((0, L, 3), np.float32), np.zeros((0, L, 3), np.float32), []
+            )
+        return GestureArrays(
+            np.stack(g_list).astype(np.float32),
+            np.stack(p_list).astype(np.float32),
+            w_list,
+        )
+
+    train_ds, test_ds = build(train_words), build(test_words)
+    if verbose:
+        print(f"Training samples: {len(train_ds)}, Test samples: {len(test_ds)}")
+    return train_ds, test_ds

@@ -1,0 +1,84 @@
+"""Loss functions — pure jnp functions (reference /root/reference/src/gan/losses.py
+and src/contrastive/model.py:124-189)."""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+# --- WGAN (reference losses.py:18-58) --------------------------------------
+
+
+def wgan_critic_loss(real_scores: jnp.ndarray, fake_scores: jnp.ndarray) -> jnp.ndarray:
+    """E[D(fake)] - E[D(real)] — minimized by the critic."""
+    return fake_scores.mean() - real_scores.mean()
+
+
+def wgan_generator_loss(fake_scores: jnp.ndarray) -> jnp.ndarray:
+    """-E[D(fake)] — minimized by the generator."""
+    return -fake_scores.mean()
+
+
+# --- Pix2PixHD feature matching (reference losses.py:61-93) -----------------
+
+
+def feature_matching_loss(real_features: List[jnp.ndarray], fake_features: List[jnp.ndarray]) -> jnp.ndarray:
+    """Mean over layers of per-layer L1 between critic features, each layer
+    additionally normalized by its per-sample element count. Real features
+    are detached (stop_gradient) as in the reference."""
+    total = 0.0
+    for real, fake in zip(real_features, fake_features):
+        per_sample_elems = real.size // real.shape[0]
+        l1 = jnp.abs(fake - jax.lax.stop_gradient(real)).mean()
+        total = total + l1 / per_sample_elems
+    return total / len(real_features)
+
+
+# --- Reconstruction / latent / KLD (reference losses.py:96-175) -------------
+
+
+def reconstruction_loss(real: jnp.ndarray, fake: jnp.ndarray) -> jnp.ndarray:
+    """Mean L1 over (x, y, t)."""
+    return jnp.abs(fake - real).mean()
+
+
+def latent_encoding_loss(z_original: jnp.ndarray, z_recovered: jnp.ndarray) -> jnp.ndarray:
+    """BicycleGAN latent recovery: mean L1 between drawn and re-encoded z."""
+    return jnp.abs(z_recovered - z_original).mean()
+
+
+def kl_divergence_loss(mu: jnp.ndarray, log_var: jnp.ndarray) -> jnp.ndarray:
+    """-0.5 * sum(1 + log_var - mu^2 - exp(log_var)) averaged over the batch."""
+    kld = -0.5 * jnp.sum(1 + log_var - jnp.square(mu) - jnp.exp(log_var), axis=1)
+    return kld.mean()
+
+
+# --- Supervised contrastive (reference src/contrastive/model.py:124-189) ----
+
+
+def supervised_contrastive_loss(
+    embeddings: jnp.ndarray,
+    labels: jnp.ndarray,
+    temperature: float = 0.07,
+) -> jnp.ndarray:
+    """SupCon (Khosla et al. 2020) over L2-normalized embeddings.
+
+    Same-label pairs (minus self) are positives; the log-softmax denominator
+    excludes self; rows without positives contribute 0 through the
+    clamp-to-1 divisor, matching the reference."""
+    B = embeddings.shape[0]
+    sim = embeddings @ embeddings.T / temperature
+    same = (labels[:, None] == labels[None, :]).astype(sim.dtype)
+    eye = jnp.eye(B, dtype=sim.dtype)
+    pos_mask = same - eye
+
+    logits = sim - jax.lax.stop_gradient(sim.max(axis=1, keepdims=True))
+    exp_logits = jnp.exp(logits) * (1.0 - eye)
+    log_prob = logits - jnp.log(exp_logits.sum(axis=1, keepdims=True) + 1e-8)
+
+    pos_count = jnp.clip(pos_mask.sum(axis=1), min=1.0)
+    mean_log_prob = (pos_mask * log_prob).sum(axis=1) / pos_count
+    return -mean_log_prob.mean()

@@ -1,0 +1,245 @@
+"""WordGesture-GAN model family: variational encoder, BiLSTM generator,
+MLP + temporal (Conv1D) critics, and the FID feature autoencoder.
+
+Functional re-design of the reference architectures
+(/root/reference/src/gan/models.py) — identical layer topology and
+activation flow, expressed as init/apply pairs over explicit pytrees.
+Discriminators return their hidden-layer feature taps (for the Pix2PixHD
+feature-matching loss) and the updated spectral-norm state.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..configs import DEFAULT_MODEL_CONFIG, ModelConfig
+from .layers import (
+    bilstm_apply,
+    bilstm_init,
+    conv1d,
+    dense,
+    dense_init,
+    leaky_relu,
+    sn_conv1d,
+    sn_conv1d_init,
+    sn_dense,
+    sn_dense_init,
+)
+
+# ---------------------------------------------------------------------------
+# Variational encoder (reference models.py:18-86)
+# ---------------------------------------------------------------------------
+
+
+def encoder_init(key, config: ModelConfig = DEFAULT_MODEL_CONFIG) -> Dict:
+    dims = (config.seq_length * config.input_dim,) + tuple(config.enc_hidden_dims)
+    keys = jax.random.split(key, len(dims) + 1)
+    return {
+        "mlp": [dense_init(keys[i], dims[i], dims[i + 1]) for i in range(len(dims) - 1)],
+        "mu": dense_init(keys[-2], dims[-1], config.latent_dim),
+        "log_var": dense_init(keys[-1], dims[-1], config.latent_dim),
+    }
+
+
+def encoder_apply(params, x: jnp.ndarray, rng) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Gesture (B, L, 3) → (z, mu, log_var) via the reparameterization trick.
+
+    ``rng`` drives the epsilon draw (torch uses randn_like,
+    reference models.py:78-86)."""
+    h = x.reshape(x.shape[0], -1)
+    for layer in params["mlp"]:
+        h = leaky_relu(dense(layer, h))
+    mu = dense(params["mu"], h)
+    log_var = dense(params["log_var"], h)
+    eps = jax.random.normal(rng, mu.shape, mu.dtype)
+    z = mu + eps * jnp.exp(0.5 * log_var)
+    return z, mu, log_var
+
+
+# ---------------------------------------------------------------------------
+# Generator: stacked BiLSTM + tanh head (reference models.py:89-165)
+# ---------------------------------------------------------------------------
+
+
+def generator_init(key, config: ModelConfig = DEFAULT_MODEL_CONFIG) -> Dict:
+    proto_dim = config.input_dim if config.prototype_has_time else 2
+    in_dim = proto_dim + config.latent_dim
+    k_lstm, k_out = jax.random.split(key)
+    return {
+        "lstm": bilstm_init(k_lstm, in_dim, config.gen_hidden_dim, config.gen_num_layers),
+        "out": dense_init(k_out, 2 * config.gen_hidden_dim, config.input_dim),
+    }
+
+
+def generator_apply(
+    params, prototype: jnp.ndarray, z: jnp.ndarray,
+    config: ModelConfig = DEFAULT_MODEL_CONFIG,
+) -> jnp.ndarray:
+    """(prototype (B, L, 3), z (B, Z)) → gesture (B, L, 3).
+
+    The latent code is broadcast along the sequence and concatenated with the
+    (x, y)-only prototype (time channel withheld when prototype_has_time is
+    False — the generator must learn timing from curvature,
+    reference models.py:147-157)."""
+    L = prototype.shape[1]
+    proto = prototype if config.prototype_has_time else prototype[:, :, :2]
+    z_seq = jnp.broadcast_to(z[:, None, :], (z.shape[0], L, z.shape[1]))
+    h = jnp.concatenate([proto, z_seq], axis=-1)
+    h = bilstm_apply(params["lstm"], h, config.gen_hidden_dim)
+    return jnp.tanh(dense(params["out"], h))
+
+
+# ---------------------------------------------------------------------------
+# MLP critic with spectral norm (reference models.py:168-243)
+# ---------------------------------------------------------------------------
+
+
+def mlp_disc_init(key, config: ModelConfig = DEFAULT_MODEL_CONFIG) -> Tuple[Dict, Dict]:
+    """Returns (params, spectral_state)."""
+    dims = (config.seq_length * config.input_dim,) + tuple(config.disc_hidden_dims)
+    keys = jax.random.split(key, len(dims))
+    layers, us = [], []
+    for i in range(len(dims) - 1):
+        p, u = sn_dense_init(keys[i], dims[i], dims[i + 1])
+        layers.append(p)
+        us.append(u)
+    out_p, out_u = sn_dense_init(keys[-1], dims[-1], 1)
+    return {"layers": layers, "out": out_p}, {"layers": us, "out": out_u}
+
+
+def mlp_disc_apply(params, state, x: jnp.ndarray, update_stats: bool):
+    """(B, L, 3) → (scores (B, 1), features list, new spectral state).
+
+    Features are the post-LeakyReLU activations of every hidden layer
+    (reference models.py:225-243); the output head is unbounded (WGAN)."""
+    h = x.reshape(x.shape[0], -1)
+    features, new_us = [], []
+    for p, u in zip(params["layers"], state["layers"]):
+        h, u_new = sn_dense(p, u, h, update_stats)
+        h = leaky_relu(h)
+        features.append(h)
+        new_us.append(u_new)
+    out, out_u = sn_dense(params["out"], state["out"], h, update_stats)
+    return out, features, {"layers": new_us, "out": out_u}
+
+
+# ---------------------------------------------------------------------------
+# Temporal critic: spectral-norm Conv1D stack (reference models.py:246-353)
+# ---------------------------------------------------------------------------
+
+_TCONV_SPEC = ((3, 64, 5, 2), (64, 64, 5, 2), (64, 32, 3, 1))  # in, out, k, pad
+_POOL_BINS = 8
+
+
+def temporal_disc_init(key, config: ModelConfig = DEFAULT_MODEL_CONFIG) -> Tuple[Dict, Dict]:
+    keys = jax.random.split(key, 6)
+    convs, conv_us = [], []
+    for i, (cin, cout, k, _pad) in enumerate(_TCONV_SPEC):
+        p, u = sn_conv1d_init(keys[i], cin, cout, k)
+        convs.append(p)
+        conv_us.append(u)
+    m1, u1 = sn_dense_init(keys[3], _TCONV_SPEC[-1][1] * _POOL_BINS, 128)
+    m2, u2 = sn_dense_init(keys[4], 128, 64)
+    out, uo = sn_dense_init(keys[5], 64, 1)
+    return (
+        {"convs": convs, "mlp": [m1, m2], "out": out},
+        {"convs": conv_us, "mlp": [u1, u2], "out": uo},
+    )
+
+
+def _adaptive_avg_pool(h: jnp.ndarray, bins: int) -> jnp.ndarray:
+    """(B, L, C) → (B, bins, C) by averaging equal chunks (torch
+    AdaptiveAvgPool1d semantics for L divisible by bins)."""
+    B, L, C = h.shape
+    return h.reshape(B, bins, L // bins, C).mean(axis=2)
+
+
+def temporal_disc_apply(params, state, x: jnp.ndarray, update_stats: bool):
+    """(B, L, 3) → (scores, features, new spectral state). Works in NWC layout
+    (the reference permutes to NCW for torch Conv1d; XLA prefers
+    channel-last on TPU). Feature taps: the 3 conv activations flattened +
+    2 MLP activations (reference models.py:319-353)."""
+    B = x.shape[0]
+    h = x
+    features, new_conv_us = [], []
+    for p, u, (_cin, _cout, _k, pad) in zip(params["convs"], state["convs"], _TCONV_SPEC):
+        h, u_new = sn_conv1d(p, u, h, stride=1, padding=pad, update=update_stats)
+        h = leaky_relu(h)
+        features.append(h.reshape(B, -1))
+        new_conv_us.append(u_new)
+
+    pooled = _adaptive_avg_pool(h, _POOL_BINS)           # (B, 8, 32)
+    # torch flattens (B, C, bins) row-major = channel-major ordering.
+    flat = jnp.swapaxes(pooled, 1, 2).reshape(B, -1)     # (B, 256)
+
+    new_mlp_us = []
+    h2 = flat
+    for p, u in zip(params["mlp"], state["mlp"]):
+        h2, u_new = sn_dense(p, u, h2, update_stats)
+        h2 = leaky_relu(h2)
+        features.append(h2)
+        new_mlp_us.append(u_new)
+    out, out_u = sn_dense(params["out"], state["out"], h2, update_stats)
+    return out, features, {"convs": new_conv_us, "mlp": new_mlp_us, "out": out_u}
+
+
+def disc_init(key, config: ModelConfig = DEFAULT_MODEL_CONFIG):
+    """Critic factory honoring ``use_temporal_disc`` (reference trainer.py:49-51)."""
+    if config.use_temporal_disc:
+        return temporal_disc_init(key, config)
+    return mlp_disc_init(key, config)
+
+
+def disc_apply(params, state, x, update_stats: bool, config: ModelConfig = DEFAULT_MODEL_CONFIG):
+    if config.use_temporal_disc:
+        return temporal_disc_apply(params, state, x, update_stats)
+    return mlp_disc_apply(params, state, x, update_stats)
+
+
+# ---------------------------------------------------------------------------
+# FID feature autoencoder (reference models.py:356-450)
+# ---------------------------------------------------------------------------
+
+_AE_DIMS = (192, 96, 48)
+
+
+def autoencoder_init(key, config: ModelConfig = DEFAULT_MODEL_CONFIG, hidden_dim: int = 32) -> Dict:
+    enc_dims = (config.input_dim,) + _AE_DIMS + (hidden_dim,)
+    dec_dims = (hidden_dim,) + _AE_DIMS[::-1] + (config.input_dim,)
+    keys = jax.random.split(key, len(enc_dims) + len(dec_dims))
+    ki = iter(keys)
+    return {
+        "enc": [dense_init(next(ki), enc_dims[i], enc_dims[i + 1]) for i in range(len(enc_dims) - 1)],
+        "post_pool": dense_init(next(ki), hidden_dim, hidden_dim),
+        "pre_expand": dense_init(next(ki), hidden_dim, hidden_dim),
+        "dec": [dense_init(next(ki), dec_dims[i], dec_dims[i + 1]) for i in range(len(dec_dims) - 1)],
+    }
+
+
+def autoencoder_encode(params, x: jnp.ndarray) -> jnp.ndarray:
+    """(B, L, 3) → (B, hidden): per-timestep MLP, mean-pool over the
+    sequence, then a linear head (reference models.py:405-424)."""
+    h = x
+    for i, layer in enumerate(params["enc"]):
+        h = dense(layer, h)
+        if i < len(params["enc"]) - 1:
+            h = leaky_relu(h)
+    pooled = h.mean(axis=1)
+    return dense(params["post_pool"], pooled)
+
+
+def autoencoder_decode(params, z: jnp.ndarray, seq_length: int) -> jnp.ndarray:
+    h = dense(params["pre_expand"], z)
+    h = jnp.broadcast_to(h[:, None, :], (h.shape[0], seq_length, h.shape[1]))
+    for i, layer in enumerate(params["dec"]):
+        h = dense(layer, h)
+        if i < len(params["dec"]) - 1:
+            h = leaky_relu(h)
+    return jnp.tanh(h)
+
+
+def autoencoder_apply(params, x: jnp.ndarray) -> jnp.ndarray:
+    return autoencoder_decode(params, autoencoder_encode(params, x), x.shape[1])
