@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""Evaluate WordGesture-GAN and/or the fitted minimum-jerk baseline.
+
+CLI-parity entry point with the reference (/root/reference/eval_gan.py:320-351):
+``--model gan|min-jerk|both``, ``--n-samples``, ``--truncation``,
+``--savgol-window``, ``--precision-k``, ``--wandb``, ``--fast`` (skip DTW).
+
+Usage:
+    python eval_gan.py --model both --n-samples 2000 [--synthetic]
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+import numpy as np
+
+from wordgesture_gan_tpu.cli_common import add_data_args, load_split, maybe_wandb
+from wordgesture_gan_tpu.configs import (
+    EvaluationConfig,
+    ModelConfig,
+    PathsConfig,
+    TrainingConfig,
+)
+from wordgesture_gan_tpu.utils.logging import log, seed_everything
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description="Evaluate WordGesture-GAN (TPU)")
+    parser.add_argument("--model", choices=["gan", "min-jerk", "both"], default="gan")
+    parser.add_argument("--n-samples", type=int, default=200)
+    parser.add_argument("--truncation", type=float, default=1.0)
+    parser.add_argument("--savgol-window", type=int, default=21)
+    parser.add_argument("--precision-k", type=int, default=3)
+    parser.add_argument("--wandb", action="store_true")
+    parser.add_argument("--fast", action="store_true", help="skip DTW Wasserstein")
+    parser.add_argument("--checkpoint-dir", type=str, default="checkpoints")
+    parser.add_argument("--save-figures", type=str, default=None,
+                        help="directory for comparison/overlay figures")
+    add_data_args(parser)
+    args = parser.parse_args()
+
+    import jax
+
+    log(f"Devices: {jax.devices()}")
+    log(f"Model: {args.model}, Samples: {args.n_samples}, Truncation: {args.truncation}")
+    log(f"Savgol window: {args.savgol_window}, Precision k: {args.precision_k}, Fast: {args.fast}")
+    log("")
+    seed_everything(args.seed)
+
+    model_config = ModelConfig()
+    training_config = TrainingConfig()
+    eval_config = EvaluationConfig(
+        n_samples=args.n_samples,
+        truncation=args.truncation,
+        savgol_window=args.savgol_window,
+        precision_recall_k=args.precision_k,
+    )
+
+    log("[1/5] Loading data...")
+    train_ds, test_ds, keyboard = load_split(args, model_config, training_config)
+    log(f"  Train: {len(train_ds)}, Test: {len(test_ds)}")
+
+    n = min(args.n_samples, len(test_ds))
+    real_g = test_ds.gestures[:n]
+    words = test_ds.words[:n]
+
+    gan_fake = None
+    if args.model in ("gan", "both"):
+        log("[2/5] Loading GAN checkpoint...")
+        from wordgesture_gan_tpu.train.checkpoint import restore_checkpoint
+        from wordgesture_gan_tpu.train.gan_loop import generate_gestures
+        from wordgesture_gan_tpu.train.state import init_gan_state
+
+        template = init_gan_state(jax.random.PRNGKey(args.seed), model_config, training_config)
+        state = restore_checkpoint(template, args.checkpoint_dir)
+        if state is None:
+            log(f"  ERROR: No checkpoint found in {args.checkpoint_dir}")
+            if args.model == "gan":
+                sys.exit(1)
+            log("  Skipping GAN evaluation.")
+        else:
+            epoch = int(np.asarray(state["epoch"]))
+            log(f"  Loaded checkpoint from epoch {epoch}")
+            log("[3/5] Generating samples (batched)...")
+            gan_fake = generate_gestures(
+                state, test_ds.prototypes[:n], model_config,
+                truncation=args.truncation, seed=args.seed,
+            )
+            log(f"    Generated {n} samples")
+
+    log("[4/5] Computing metrics...")
+    from wordgesture_gan_tpu.eval.gan_eval import (
+        PAPER_GAN,
+        PAPER_MINJERK,
+        evaluate_gan_and_minjerk,
+        print_comparison_table,
+        print_results_table,
+    )
+
+    gan_results, minjerk_results = evaluate_gan_and_minjerk(
+        real_g, words, train_ds, keyboard,
+        gan_fake=gan_fake,
+        run_minjerk=args.model in ("min-jerk", "both"),
+        model_config=model_config,
+        eval_config=eval_config,
+        skip_dtw=args.fast,
+        cache_dir=args.checkpoint_dir,
+    )
+    log("[5/5] Done computing metrics.")
+    log("")
+
+    if args.model == "both" and gan_results and minjerk_results:
+        print_comparison_table(gan_results, minjerk_results, args.precision_k)
+    elif gan_results:
+        print_results_table(gan_results, "GAN", PAPER_GAN, args.precision_k)
+    elif minjerk_results:
+        print_results_table(minjerk_results, "Minimum Jerk", PAPER_MINJERK, args.precision_k)
+
+    if args.save_figures and gan_fake is not None:
+        from wordgesture_gan_tpu.viz import create_comparison_figure, create_overlay_figure
+        import matplotlib.pyplot as plt
+
+        out = Path(args.save_figures)
+        out.mkdir(parents=True, exist_ok=True)
+        fig = create_comparison_figure(real_g[:6], gan_fake[:6], words[:6])
+        fig.savefig(out / "comparison.png", dpi=100)
+        plt.close(fig)
+        fig = create_overlay_figure(real_g[:5], gan_fake[:5], words[0] if words else "sample")
+        fig.savefig(out / "overlay.png", dpi=100)
+        plt.close(fig)
+        log(f"Figures saved to {out}")
+
+    if args.wandb:
+        wb = maybe_wandb(True, project=PathsConfig().wandb_project, name="eval_standalone")
+        if wb is not None and gan_results:
+            for key, val in gan_results.items():
+                if isinstance(val, float):
+                    wb.summary[f"eval/{key}"] = val
+            wb.finish()
+
+    log("")
+    log("Done.")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,258 @@
+"""Metric kernels vs scipy/reference implementations (SURVEY.md §4d)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def gesture_sets():
+    rng = np.random.default_rng(0)
+    n, L = 12, 128
+    t = np.sort(rng.uniform(0, 1, (n, L)), axis=1)
+    t[:, 0], t[:, -1] = 0, 1
+
+    def mk():
+        xy = np.cumsum(rng.normal(0, 0.05, (n, L, 2)), axis=1)
+        return np.concatenate([xy, t[:, :, None]], axis=2).astype(np.float32)
+
+    return mk(), mk()
+
+
+# --- DTW -------------------------------------------------------------------
+
+
+def test_dtw_identity_zero():
+    from wordgesture_gan_tpu.ops.dtw import dtw_pairs
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(3, 32, 2)), jnp.float32)
+    d = dtw_pairs(x, x)
+    np.testing.assert_allclose(np.asarray(d), 0.0, atol=1e-4)
+
+
+def test_dtw_matches_exact_dp():
+    """Wavefront DTW == straightforward O(L^2) dynamic program."""
+    from wordgesture_gan_tpu.ops.dtw import dtw_pairs
+
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(4, 20, 2)).astype(np.float32)
+    y = rng.normal(size=(4, 20, 2)).astype(np.float32)
+
+    def ref_dtw(a, b):
+        L = len(a)
+        cost = np.sqrt(((a[:, None, :] - b[None, :, :]) ** 2).sum(-1))
+        D = np.full((L + 1, L + 1), np.inf)
+        D[0, 0] = 0
+        for i in range(1, L + 1):
+            for j in range(1, L + 1):
+                D[i, j] = cost[i - 1, j - 1] + min(D[i - 1, j], D[i, j - 1], D[i - 1, j - 1])
+        return D[L, L]
+
+    ours = np.asarray(dtw_pairs(jnp.asarray(x), jnp.asarray(y)))
+    refs = np.array([ref_dtw(a, b) for a, b in zip(x, y)])
+    np.testing.assert_allclose(ours, refs, rtol=1e-4)
+
+
+def test_dtw_vs_fastdtw_close(gesture_sets):
+    """Exact DTW lower-bounds and closely tracks the reference's fastdtw
+    (approximate) distances on gesture-like traces."""
+    fastdtw_mod = pytest.importorskip("fastdtw")
+    from scipy.spatial.distance import euclidean
+    from wordgesture_gan_tpu.ops.dtw import dtw_pairs
+
+    real, fake = gesture_sets
+    ours = np.asarray(dtw_pairs(jnp.asarray(real[:, :, :2]), jnp.asarray(fake[:, :, :2])))
+    approx = np.array([
+        fastdtw_mod.fastdtw(r[:, :2], f[:, :2], dist=euclidean)[0]
+        for r, f in zip(real, fake)
+    ])
+    assert np.all(ours <= approx + 1e-3)
+    # close agreement on smooth traces
+    rel = np.abs(ours - approx) / np.maximum(approx, 1e-9)
+    assert rel.mean() < 0.05
+
+
+def test_dtw_distance_matrix_chunking(gesture_sets):
+    from wordgesture_gan_tpu.ops.dtw import dtw_distance_matrix, dtw_pairs
+    real, fake = gesture_sets
+    mat = dtw_distance_matrix(real[:5, :, :2], fake[:7, :, :2], pair_chunk=8)
+    assert mat.shape == (5, 7)
+    # spot-check against direct pair computation
+    d = float(np.asarray(dtw_pairs(jnp.asarray(real[2:3, :, :2]), jnp.asarray(fake[4:5, :, :2])))[0])
+    assert mat[2, 4] == pytest.approx(d, rel=1e-5)
+
+
+# --- savgol ----------------------------------------------------------------
+
+
+def test_savgol_matrix_matches_scipy():
+    from scipy.signal import savgol_filter
+    from wordgesture_gan_tpu.ops.savgol import savgol_matrix
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=128)
+    M = savgol_matrix(128, 21, 3, 3)
+    ours = M @ x
+    theirs = savgol_filter(x, 21, 3, deriv=3)
+    np.testing.assert_allclose(ours, theirs, atol=1e-8)
+
+
+def test_batched_savgol_jerk_matches_reference_loop(gesture_sets):
+    from scipy.signal import savgol_filter
+    from wordgesture_gan_tpu.ops.savgol import batched_savgol_jerk
+
+    real, _ = gesture_sets
+    ours = np.asarray(batched_savgol_jerk(jnp.asarray(real), 21, 3))
+
+    def ref_jerk(g):
+        d3x = savgol_filter(g[:, 0], 21, 3, deriv=3)
+        d3y = savgol_filter(g[:, 1], 21, 3, deriv=3)
+        return np.mean(np.sqrt(d3x ** 2 + d3y ** 2))
+
+    theirs = np.array([ref_jerk(g) for g in real])
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4)
+
+
+# --- dynamics correlations -------------------------------------------------
+
+
+def _ref_velocity(g):
+    xy, t = g[:, :, :2], g[:, :, 2]
+    dxy, dt = np.diff(xy, axis=1), np.diff(t, axis=1)
+    t_mid = (t[:, :-1] + t[:, 1:]) / 2
+    dt_safe = np.where(np.abs(dt) > 1e-10, dt, 1e-10 * np.sign(dt + 1e-20))
+    return dxy / dt_safe[:, :, None], t_mid
+
+
+def test_velocity_matches_reference(gesture_sets):
+    from wordgesture_gan_tpu.ops.stats import time_aware_velocity
+    real, _ = gesture_sets
+    v_ours, t_ours = time_aware_velocity(jnp.asarray(real))
+    v_ref, t_ref = _ref_velocity(real)
+    np.testing.assert_allclose(np.asarray(v_ours), v_ref, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(t_ours), t_ref, rtol=1e-5)
+
+
+def test_correlations_match_reference_loops(gesture_sets):
+    """Batched correlations == the reference's per-pair Python loops."""
+    from wordgesture_gan_tpu.ops import stats as S
+
+    real, fake = gesture_sets
+    rd, fd = jnp.asarray(real), jnp.asarray(fake)
+
+    def ref_corr(xs, ys, clip_mode):
+        cs = []
+        for a, b in zip(xs, ys):
+            a, b = a.flatten(), b.flatten()
+            if len(a) > 1 and np.std(a) > 1e-10 and np.std(b) > 1e-10:
+                if clip_mode == "pct":
+                    a = np.clip(a, np.percentile(a, 1), np.percentile(a, 99))
+                    b = np.clip(b, np.percentile(b, 1), np.percentile(b, 99))
+                elif clip_mode == "speed":
+                    a = np.clip(a, 0, np.percentile(a, 99))
+                    b = np.clip(b, 0, np.percentile(b, 99))
+                c = np.corrcoef(a, b)[0, 1]
+                if not np.isnan(c):
+                    cs.append(c)
+        return np.mean(cs) if cs else 0.0
+
+    v_r, _ = _ref_velocity(real)
+    v_f, _ = _ref_velocity(fake)
+    np.testing.assert_allclose(
+        float(S.velocity_correlation(rd, fd)), ref_corr(v_r, v_f, "pct"), atol=1e-4
+    )
+    sp_r = np.linalg.norm(v_r, axis=-1)
+    sp_f = np.linalg.norm(v_f, axis=-1)
+    np.testing.assert_allclose(
+        float(S.speed_profile_correlation(rd, fd)), ref_corr(sp_r, sp_f, "speed"), atol=1e-4
+    )
+    dt_r = np.diff(real[:, :, 2], axis=1)
+    dt_f = np.diff(fake[:, :, 2], axis=1)
+    np.testing.assert_allclose(
+        float(S.time_delta_correlation(rd, fd)), ref_corr(dt_r, dt_f, "none"), atol=1e-4
+    )
+
+
+# --- cdist / kNN / assignment ---------------------------------------------
+
+
+def test_pairwise_l2_matches_cdist(gesture_sets):
+    from scipy.spatial.distance import cdist
+    from wordgesture_gan_tpu.ops.stats import pairwise_l2
+    real, fake = gesture_sets
+    a = real[:, :, :2].reshape(len(real), -1)
+    b = fake[:, :, :2].reshape(len(fake), -1)
+    ours = np.asarray(pairwise_l2(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(ours, cdist(a, b), atol=1e-3)
+
+
+def test_knn_precision_recall_matches_reference(gesture_sets):
+    from scipy.spatial.distance import cdist
+    from wordgesture_gan_tpu.ops.stats import knn_precision_recall
+
+    real, fake = gesture_sets
+    a = real[:, :, :2].reshape(len(real), -1).astype(np.float64)
+    b = fake[:, :, :2].reshape(len(fake), -1).astype(np.float64)
+    k = 3
+    p, r, _, _ = knn_precision_recall(jnp.asarray(a, jnp.float32), jnp.asarray(b, jnp.float32), k)
+
+    real_d = cdist(a, a)
+    fake_d = cdist(b, b)
+    cross = cdist(a, b)
+    real_radii = np.sort(real_d, axis=1)[:, k]
+    fake_radii = np.sort(fake_d, axis=1)[:, k]
+    p_ref = np.mean([np.any(cross[:, j] <= real_radii) for j in range(len(b))])
+    r_ref = np.mean([np.any(cross[i, :] <= fake_radii) for i in range(len(a))])
+    assert float(p) == pytest.approx(p_ref, abs=1e-6)
+    assert float(r) == pytest.approx(r_ref, abs=1e-6)
+
+
+def test_sinkhorn_approaches_hungarian():
+    from wordgesture_gan_tpu.ops.assignment import matched_mean_distance, sinkhorn_matching_cost
+    rng = np.random.default_rng(5)
+    cost = rng.uniform(0, 1, (24, 24))
+    exact = matched_mean_distance(cost)
+    approx = float(sinkhorn_matching_cost(jnp.asarray(cost), epsilon=0.003, n_iters=2000))
+    assert approx == pytest.approx(exact, rel=0.05)
+    assert approx >= exact - 1e-6  # entropic cost upper-bounds the exact matching
+
+
+def test_frechet_distance_matches_scipy():
+    from scipy.linalg import sqrtm
+    from wordgesture_gan_tpu.ops.sqrtm import frechet_distance
+
+    rng = np.random.default_rng(6)
+    f1 = rng.normal(size=(200, 16))
+    f2 = rng.normal(size=(200, 16)) * 1.3 + 0.2
+    mu1, mu2 = f1.mean(0), f2.mean(0)
+    c1 = np.cov(f1, rowvar=False) + np.eye(16) * 1e-6
+    c2 = np.cov(f2, rowvar=False) + np.eye(16) * 1e-6
+
+    ref = float(((mu1 - mu2) ** 2).sum() + np.trace(c1 + c2 - 2 * sqrtm(c1 @ c2).real))
+    ours = float(frechet_distance(jnp.asarray(mu1), jnp.asarray(c1), jnp.asarray(mu2), jnp.asarray(c2)))
+    assert ours == pytest.approx(ref, rel=1e-4)
+
+
+# --- full suite smoke ------------------------------------------------------
+
+
+def test_evaluate_all_metrics_smoke(gesture_sets):
+    from wordgesture_gan_tpu.configs import EvaluationConfig
+    from wordgesture_gan_tpu.metrics import evaluate_all_metrics
+
+    real, fake = gesture_sets
+    ecfg = EvaluationConfig(fid_autoencoder_epochs=2)
+    res = evaluate_all_metrics(real, fake, train_gestures=real, eval_config=ecfg, verbose=False)
+    cached = res.pop("_cached_real")
+    for key in ("l2_wasserstein", "dtw_wasserstein", "jerk_real", "jerk_fake",
+                "velocity_corr", "acceleration_corr", "speed_profile_corr",
+                "time_delta_corr", "fid", "precision", "recall",
+                "ae_reconstruction_loss", "ae_test_loss"):
+        assert key in res and np.isfinite(res[key]), key
+
+    # second call reusing cached real side must agree on real-side stats
+    res2 = evaluate_all_metrics(real, fake, train_gestures=real, eval_config=ecfg,
+                                cached_real=cached, verbose=False)
+    assert res2["fid"] == pytest.approx(res["fid"], rel=1e-5)
+    assert res2["precision"] == pytest.approx(res["precision"])

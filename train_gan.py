@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Train WordGesture-GAN on TPU.
+
+CLI-parity entry point with the reference (/root/reference/train_gan.py:229-240:
+``--epochs``, ``--no-resume``; the ``--gpu`` Modal knob is replaced by local
+mesh/runtime flags since training runs directly on the TPU host).
+
+Usage:
+    python train_gan.py [--epochs N] [--no-resume] [--batch-size B]
+                        [--synthetic] [--wandb] [--profile-dir DIR]
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+import numpy as np
+
+from wordgesture_gan_tpu.cli_common import add_data_args, load_split, maybe_wandb
+from wordgesture_gan_tpu.configs import (
+    ModelConfig,
+    PathsConfig,
+    RuntimeConfig,
+    TrainingConfig,
+    asdict,
+)
+from wordgesture_gan_tpu.utils.logging import log, seed_everything
+from wordgesture_gan_tpu.utils.profiling import trace_profile
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description="Train WordGesture-GAN (TPU)")
+    parser.add_argument("--epochs", type=int, default=200)
+    parser.add_argument("--no-resume", action="store_true", help="start fresh")
+    parser.add_argument("--batch-size", type=int, default=512)
+    parser.add_argument("--checkpoint-dir", type=str, default="checkpoints")
+    parser.add_argument("--wandb", action="store_true", help="log to wandb")
+    parser.add_argument("--profile-dir", type=str, default=None,
+                        help="capture a jax.profiler trace into this dir")
+    parser.add_argument("--data-axis-size", type=int, default=-1,
+                        help="devices on the data mesh axis (-1 = all)")
+    add_data_args(parser)
+    args = parser.parse_args()
+
+    import jax
+
+    log(f"Devices: {jax.devices()}")
+    seed_everything(args.seed)
+
+    model_config = ModelConfig()
+    training_config = TrainingConfig(num_epochs=args.epochs, batch_size=args.batch_size)
+    runtime_config = RuntimeConfig(data_axis_size=args.data_axis_size)
+
+    train_ds, test_ds, keyboard = load_split(args, model_config, training_config)
+    log(f"Data: {len(train_ds)} train, {len(test_ds)} test")
+
+    wb = maybe_wandb(
+        args.wandb,
+        project=PathsConfig().wandb_project,
+        name=f"{'temporal' if model_config.use_temporal_disc else 'mlp'}_"
+             f"{'xy' if not model_config.prototype_has_time else 'xyt'}_"
+             f"{training_config.lambda_rec}_{training_config.lambda_kld}",
+        config={"model": asdict(model_config), "training": asdict(training_config),
+                "num_epochs": args.epochs},
+    )
+
+    from wordgesture_gan_tpu.train.gan_loop import generate_gestures, train_gan
+
+    def epoch_callback(epoch, state, losses):
+        if wb is not None:
+            wb.log({"epoch": epoch + 1, "learning_rate": losses.get("lr", 0),
+                    **{f"loss/{k}": v for k, v in losses.items()}}, step=epoch + 1)
+        # Periodic comparison figures (reference train_gan.py:170-186).
+        if (epoch + 1) % 10 == 0 and len(test_ds) > 0:
+            from wordgesture_gan_tpu.viz import create_comparison_figure
+
+            n_viz = min(6, len(test_ds))
+            fake = generate_gestures(state, test_ds.prototypes[:n_viz], model_config,
+                                     seed=epoch)
+            fig = create_comparison_figure(
+                test_ds.gestures[:n_viz], fake, test_ds.words[:n_viz]
+            )
+            out = Path(args.checkpoint_dir) / f"samples_epoch_{epoch + 1}.png"
+            out.parent.mkdir(parents=True, exist_ok=True)
+            fig.savefig(out, dpi=100)
+            if wb is not None:
+                wb.log({"gestures/training_samples": wb.Image(fig)}, step=epoch + 1)
+            import matplotlib.pyplot as plt
+
+            plt.close(fig)
+
+    with trace_profile(args.profile_dir):
+        result = train_gan(
+            train_ds,
+            test_ds,
+            model_config=model_config,
+            training_config=training_config,
+            runtime_config=runtime_config,
+            num_epochs=args.epochs,
+            seed=args.seed,
+            checkpoint_dir=args.checkpoint_dir,
+            resume=not args.no_resume,
+            epoch_callback=epoch_callback,
+        )
+
+    if wb is not None:
+        wb.finish()
+    log("Training complete!")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,86 @@
+"""Shared CLI plumbing: dataset resolution (real zip or synthetic stand-in),
+split construction, wandb gating.
+
+The reference CLIs wrap everything in Modal sandboxes
+(/root/reference/train_gan.py:203-222); these run directly on the TPU host.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from pathlib import Path
+from typing import Optional, Tuple
+
+from .configs import ModelConfig, PathsConfig, TrainingConfig
+from .data.pipeline import GestureArrays, create_train_test_split, load_dataset_from_zip
+from .data.synthetic import write_synthetic_swipelogs_zip
+from .keyboard import QWERTYKeyboard
+from .utils.logging import log
+
+
+def add_data_args(parser: argparse.ArgumentParser) -> None:
+    parser.add_argument("--data", type=str, default="dataset/swipelogs.zip",
+                        help="path to swipelogs.zip")
+    parser.add_argument("--synthetic", action="store_true",
+                        help="generate (and cache) a synthetic swipelogs zip when the real dataset is absent")
+    parser.add_argument("--synthetic-users", type=int, default=200,
+                        help="number of synthetic users when --synthetic")
+    parser.add_argument("--max-files", type=int, default=None,
+                        help="cap processed log files (debugging)")
+    parser.add_argument("--seed", type=int, default=42)
+
+
+def resolve_dataset_zip(args: argparse.Namespace) -> str:
+    """Return a usable zip path, synthesizing one if requested/needed."""
+    path = Path(args.data)
+    if path.exists() and not args.synthetic:
+        return str(path)
+    if args.synthetic or not path.exists():
+        syn_path = path if args.synthetic and not path.exists() else path.parent / f"synthetic_swipelogs_{args.synthetic_users}.zip"
+        if path.exists() and not args.synthetic:
+            return str(path)
+        if not syn_path.exists():
+            log(f"Dataset zip not found — generating synthetic swipelogs ({args.synthetic_users} users) at {syn_path}")
+            wordfreq = Path("/root/reference/dataset/wordfreq.txt")
+            write_synthetic_swipelogs_zip(
+                str(syn_path), n_users=args.synthetic_users, seed=7,
+                wordfreq_path=str(wordfreq) if wordfreq.exists() else None,
+            )
+        else:
+            log(f"Using cached synthetic swipelogs at {syn_path}")
+        return str(syn_path)
+    raise FileNotFoundError(f"dataset zip not found: {path}")
+
+
+def load_split(
+    args: argparse.Namespace,
+    model_config: ModelConfig,
+    training_config: TrainingConfig,
+    verbose: bool = True,
+) -> Tuple[GestureArrays, GestureArrays, QWERTYKeyboard]:
+    keyboard = QWERTYKeyboard()
+    zip_path = resolve_dataset_zip(args)
+    gestures, protos = load_dataset_from_zip(
+        zip_path, keyboard, model_config, training_config,
+        max_files=args.max_files, verbose=verbose,
+    )
+    train_ds, test_ds = create_train_test_split(
+        gestures, protos, training_config.train_ratio, seed=args.seed, verbose=verbose,
+    )
+    return train_ds, test_ds, keyboard
+
+
+def maybe_wandb(enabled: bool, **init_kwargs):
+    """Lazy wandb init; returns the module or None (offline-safe)."""
+    if not enabled:
+        return None
+    try:
+        import wandb
+
+        os.environ.setdefault("WANDB_MODE", "offline")
+        wandb.init(**init_kwargs)
+        return wandb
+    except Exception as e:  # wandb missing or unreachable: degrade to logs
+        log(f"wandb unavailable ({e}); continuing without it")
+        return None

@@ -1,0 +1,135 @@
+"""FID with a learned autoencoder feature space, trained as a jitted inner
+loop on device (reference /root/reference/src/gan/evaluation.py:393-468: a
+100-epoch torch loop + scipy sqrtm; here one lax.scan per epoch and an
+eigh-based trace).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import pickle
+from pathlib import Path
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..configs import DEFAULT_EVALUATION_CONFIG, DEFAULT_MODEL_CONFIG, EvaluationConfig, ModelConfig
+from ..models.gan import autoencoder_apply, autoencoder_encode, autoencoder_init
+from ..ops.sqrtm import frechet_distance
+
+
+def _ae_cache_path(train_data: np.ndarray, eval_config: EvaluationConfig,
+                   cache_dir: str) -> Path:
+    """Cache key mirrors the reference's data-signature hash
+    (evaluation.py:30-35)."""
+    sig = f"{train_data.shape}_{train_data[:10].tobytes()[:100].hex()}_{eval_config.fid_hidden_dim}"
+    digest = hashlib.md5(sig.encode()).hexdigest()[:12]
+    return Path(cache_dir) / f".cache_fid_ae_{digest}.pkl"
+
+
+def train_fid_autoencoder(
+    train_data: np.ndarray,
+    model_config: ModelConfig = DEFAULT_MODEL_CONFIG,
+    eval_config: EvaluationConfig = DEFAULT_EVALUATION_CONFIG,
+    seed: int = 0,
+    batch_size: int = 512,
+    verbose: bool = True,
+) -> Tuple[Dict, float]:
+    """Train the FID feature AE with L1 reconstruction for
+    ``fid_autoencoder_epochs`` epochs; each epoch is one on-device scan over
+    shuffled batches (partial tail batch handled by masking, matching the
+    torch loader's drop_last=False). Returns (params, final epoch loss)."""
+    key = jax.random.PRNGKey(seed)
+    key, init_key = jax.random.split(key)
+    params = autoencoder_init(init_key, model_config, eval_config.fid_hidden_dim)
+    tx = optax.adam(eval_config.fid_autoencoder_lr)
+    opt_state = tx.init(params)
+
+    data = jnp.asarray(train_data, jnp.float32)
+    n = data.shape[0]
+    n_batches = -(-n // batch_size)
+    padded_n = n_batches * batch_size
+
+    def epoch_fn(carry, epoch_key):
+        params, opt_state = carry
+        perm = jax.random.permutation(epoch_key, n)
+        pad = jnp.concatenate([perm, jnp.zeros(padded_n - n, jnp.int32)])
+        mask = (jnp.arange(padded_n) < n).astype(jnp.float32)
+        batches = jnp.take(data, pad, axis=0).reshape(n_batches, batch_size, *data.shape[1:])
+        masks = mask.reshape(n_batches, batch_size)
+
+        def step(carry, xs):
+            params, opt_state = carry
+            batch, m = xs
+
+            def loss_fn(p):
+                recon = autoencoder_apply(p, batch)
+                per_elem = jnp.abs(recon - batch).mean(axis=(1, 2))
+                return (per_elem * m).sum() / jnp.maximum(m.sum(), 1.0)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(step, (params, opt_state), (batches, masks))
+        return (params, opt_state), losses.mean()
+
+    run = jax.jit(lambda c, ks: jax.lax.scan(epoch_fn, c, ks))
+    epoch_keys = jax.random.split(key, eval_config.fid_autoencoder_epochs)
+    (params, _), epoch_losses = run((params, opt_state), epoch_keys)
+    final_loss = float(epoch_losses[-1])
+    if verbose:
+        print(f"  FID autoencoder trained: final L1 {final_loss:.4f}")
+    return params, final_loss
+
+
+def load_or_train_fid_autoencoder(
+    train_data: np.ndarray,
+    model_config: ModelConfig = DEFAULT_MODEL_CONFIG,
+    eval_config: EvaluationConfig = DEFAULT_EVALUATION_CONFIG,
+    cache_dir: Optional[str] = None,
+    verbose: bool = True,
+) -> Tuple[Dict, float]:
+    """Disk-cached AE training (reference evaluation.py:405-440)."""
+    cpath = _ae_cache_path(train_data, eval_config, cache_dir) if cache_dir else None
+    if cpath is not None and cpath.exists():
+        if verbose:
+            print(f"  Loading cached FID autoencoder from {cpath}")
+        with open(cpath, "rb") as f:
+            cached = pickle.load(f)
+        params = jax.tree.map(jnp.asarray, cached["params"])
+        return params, cached["final_loss"]
+
+    params, final_loss = train_fid_autoencoder(
+        train_data, model_config, eval_config, verbose=verbose
+    )
+    if cpath is not None:
+        cpath.parent.mkdir(parents=True, exist_ok=True)
+        with open(cpath, "wb") as f:
+            pickle.dump(
+                {"params": jax.tree.map(np.asarray, params), "final_loss": final_loss}, f
+            )
+        if verbose:
+            print(f"  Cached FID autoencoder to {cpath}")
+    return params, final_loss
+
+
+def fid_from_features(real_features: jnp.ndarray, fake_features: jnp.ndarray) -> float:
+    """Fréchet distance between Gaussian feature fits, with the reference's
+    1e-6 diagonal jitter (evaluation.py:461-468)."""
+    dim = real_features.shape[1]
+    mu_r = real_features.mean(axis=0)
+    mu_f = fake_features.mean(axis=0)
+    cov_r = jnp.cov(real_features, rowvar=False) + jnp.eye(dim) * 1e-6
+    cov_f = jnp.cov(fake_features, rowvar=False) + jnp.eye(dim) * 1e-6
+    return float(frechet_distance(mu_r, cov_r, mu_f, cov_f))
+
+
+def encode_features(params: Dict, gestures: np.ndarray, batch: int = 4096) -> jnp.ndarray:
+    data = jnp.asarray(gestures, jnp.float32)
+    enc = jax.jit(lambda x: autoencoder_encode(params, x))
+    outs = [enc(data[i : i + batch]) for i in range(0, len(data), batch)]
+    return jnp.concatenate(outs, axis=0)

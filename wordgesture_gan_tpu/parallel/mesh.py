@@ -43,12 +43,14 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(mesh: Mesh, tree, batch_axis: int = 0):
     """Device-put a host pytree of batch arrays with the batch axis sharded
-    over the ``data`` mesh axis."""
+    over the ``data`` mesh axis. One device_put call for the whole tree so
+    transfers batch (important through a remote-TPU tunnel)."""
     sharding = batch_sharding(mesh, batch_axis)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+    return jax.device_put(tree, jax.tree.map(lambda _: sharding, tree))
 
 
 def replicate(mesh: Mesh, tree):
-    """Device-put a host pytree fully replicated over the mesh."""
+    """Device-put a host pytree fully replicated over the mesh (single
+    batched transfer)."""
     sharding = replicated(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+    return jax.device_put(tree, jax.tree.map(lambda _: sharding, tree))

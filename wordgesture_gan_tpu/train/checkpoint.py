@@ -1,0 +1,63 @@
+"""Orbax checkpointing of the train-state pytree.
+
+Replaces the reference's torch.save dict of 8 state_dicts
+(/root/reference/src/gan/trainer.py:195-230, train_gan.py:188-196) with a
+single-pytree Orbax checkpoint: ``latest`` plus per-epoch snapshots, same
+resume contract (restore everything, continue from epoch+1).
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _as_host(tree):
+    # device_get batches the D2H transfers (per-leaf np.asarray serializes a
+    # round-trip per array — pathological through a remote-TPU tunnel).
+    return jax.tree.map(np.asarray, jax.device_get(tree))
+
+
+def save_checkpoint(state: Dict, checkpoint_dir: str, epoch: int, keep_latest: bool = True) -> None:
+    """Write ``epoch_{N}`` and refresh ``latest`` (reference cadence:
+    every save_every epochs + final, train_gan.py:189-196)."""
+    base = Path(checkpoint_dir).absolute()
+    base.mkdir(parents=True, exist_ok=True)
+    host_state = _as_host(state)
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        epoch_path = base / f"epoch_{epoch + 1}"
+        if epoch_path.exists():
+            shutil.rmtree(epoch_path)
+        ckptr.save(epoch_path, host_state)
+        if keep_latest:
+            latest = base / "latest"
+            if latest.exists():
+                shutil.rmtree(latest)
+            ckptr.save(latest, host_state)
+
+
+def restore_checkpoint(template: Dict, checkpoint_dir: str, name: str = "latest") -> Optional[Dict]:
+    """Restore into the structure of ``template`` (a freshly-initialized
+    state). Returns None when no checkpoint exists."""
+    path = Path(checkpoint_dir).absolute() / name
+    if not path.exists():
+        return None
+    with ocp.PyTreeCheckpointer() as ckptr:
+        restored = ckptr.restore(path, item=_as_host(template))
+    # Return host arrays; the caller device_puts onto its mesh in one shot.
+    return restored
+
+
+def latest_epoch(checkpoint_dir: str) -> int:
+    """Highest epoch number with a snapshot, or 0."""
+    base = Path(checkpoint_dir)
+    if not base.exists():
+        return 0
+    epochs = [int(p.name.split("_")[1]) for p in base.glob("epoch_*") if p.name.split("_")[1].isdigit()]
+    return max(epochs, default=0)

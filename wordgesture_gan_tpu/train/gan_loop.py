@@ -1,0 +1,170 @@
+"""High-level GAN training driver: data → device, sharded epoch scans,
+cosine LR, checkpoint/resume, throughput counters, periodic figures.
+
+Framework equivalent of the reference's embedded TRAIN_SCRIPT
+(/root/reference/train_gan.py:38-200) minus the Modal sandbox indirection —
+it runs directly on the TPU host. The per-epoch body is one jitted
+``lax.scan`` over device-resident batches (see gan_step.py).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import (
+    DEFAULT_MODEL_CONFIG,
+    DEFAULT_RUNTIME_CONFIG,
+    DEFAULT_TRAINING_CONFIG,
+    ModelConfig,
+    RuntimeConfig,
+    TrainingConfig,
+)
+from ..data.pipeline import GestureArrays
+from ..models.gan import generator_apply
+from ..parallel.mesh import batch_sharding, create_mesh, replicate
+from ..utils.logging import log
+from ..utils.profiling import Throughput
+from .checkpoint import restore_checkpoint, save_checkpoint
+from .gan_step import gan_train_epoch, make_epoch_batches
+from .schedules import cosine_annealing_lr
+from .state import init_gan_state
+
+
+@dataclass
+class TrainResult:
+    state: Dict
+    history: List[Dict[str, float]] = field(default_factory=list)
+    throughput: Optional[Throughput] = None
+
+
+def train_gan(
+    train_ds: GestureArrays,
+    test_ds: Optional[GestureArrays] = None,
+    model_config: ModelConfig = DEFAULT_MODEL_CONFIG,
+    training_config: TrainingConfig = DEFAULT_TRAINING_CONFIG,
+    runtime_config: RuntimeConfig = DEFAULT_RUNTIME_CONFIG,
+    num_epochs: Optional[int] = None,
+    seed: int = 42,
+    checkpoint_dir: Optional[str] = None,
+    resume: bool = True,
+    epoch_callback: Optional[Callable[[int, Dict, Dict[str, float]], None]] = None,
+    verbose: bool = True,
+) -> TrainResult:
+    """Full training run.
+
+    Data-parallel layout: the batch axis of each epoch's (n_batches, B, L, 3)
+    stack is sharded over the ``data`` mesh axis; params/optimizer state are
+    replicated; XLA all-reduces gradients over ICI inside the jitted epoch.
+
+    ``epoch_callback(epoch, state, losses)`` fires after every epoch (for
+    figures / wandb); checkpoints at ``save_every`` cadence + final epoch
+    (reference train_gan.py:189-196).
+    """
+    say = log if verbose else (lambda *_: None)
+    num_epochs = num_epochs or training_config.num_epochs
+
+    mesh = create_mesh(runtime_config.data_axis_size, runtime_config.mesh_axis_names)
+    n_shards = mesh.devices.size
+    say(f"Mesh: {n_shards} device(s) on axis {runtime_config.mesh_axis_names}")
+
+    # Device-resident dataset, replicated (small); batches get sharded.
+    g_dev = replicate(mesh, jnp.asarray(train_ds.gestures, jnp.float32))
+    p_dev = replicate(mesh, jnp.asarray(train_ds.prototypes, jnp.float32))
+
+    state = init_gan_state(jax.random.PRNGKey(seed), model_config, training_config)
+    start_epoch = 0
+    if resume and checkpoint_dir:
+        restored = restore_checkpoint(state, checkpoint_dir)
+        if restored is not None:
+            state = restored
+            start_epoch = int(np.asarray(state["epoch"]))
+            say(f"Resumed from checkpoint at epoch {start_epoch}")
+    state = replicate(mesh, state)
+
+    if start_epoch >= num_epochs:
+        say(f"Already trained to epoch {start_epoch}, nothing to do.")
+        return TrainResult(state=state)
+
+    batch_shard = batch_sharding(mesh, batch_axis=1)   # (n_batches, B, ...)
+
+    epoch_fn = jax.jit(
+        lambda s, eb, lr: gan_train_epoch(s, eb, lr, model_config, training_config),
+        donate_argnums=(0,) if runtime_config.donate_state else (),
+    )
+
+    throughput = Throughput(n_chips=n_shards)
+    history: List[Dict[str, float]] = []
+    samples_per_epoch = (len(train_ds) // training_config.batch_size) * training_config.batch_size
+
+    for epoch in range(start_epoch, num_epochs):
+        lr = jnp.float32(
+            cosine_annealing_lr(
+                training_config.learning_rate, epoch, num_epochs,
+                training_config.lr_scheduler_eta_min,
+            )
+        )
+        shuffle_key = jax.random.fold_in(jax.random.PRNGKey(seed ^ 0x5EED), epoch)
+        batches = make_epoch_batches(
+            shuffle_key, g_dev, p_dev, training_config.batch_size
+        )
+        batches = jax.tree.map(lambda x: jax.device_put(x, batch_shard), batches)
+
+        t0 = time.perf_counter()
+        state, traces = epoch_fn(state, batches, lr)
+        jax.block_until_ready(traces)
+        dt = time.perf_counter() - t0
+        throughput.update(samples_per_epoch, dt)
+
+        losses = {k: float(np.mean(v)) for k, v in traces.items()}
+        history.append(losses)
+        say(
+            f"Epoch {epoch + 1}/{num_epochs} [{dt:.1f}s, "
+            f"{samples_per_epoch / max(dt, 1e-9):.0f} gestures/s] - "
+            f"D1:{losses['d1_loss']:.3f} D2:{losses['d2_loss']:.3f} "
+            f"C1:{losses['cycle1_total']:.3f} C2:{losses['cycle2_total']:.3f} "
+            f"LR:{float(lr):.6f}"
+        )
+
+        if epoch_callback is not None:
+            epoch_callback(epoch, state, losses)
+
+        if checkpoint_dir and (
+            (epoch + 1) % training_config.save_every == 0 or epoch == num_epochs - 1
+        ):
+            save_checkpoint(state, checkpoint_dir, epoch)
+            say(f"  Checkpoint saved at epoch {epoch + 1}")
+
+    say(
+        f"Training done: {throughput.per_sec:.0f} gestures/s "
+        f"({throughput.per_sec_per_chip:.0f}/chip over {n_shards} chip(s))"
+    )
+    return TrainResult(state=state, history=history, throughput=throughput)
+
+
+def generate_gestures(
+    state: Dict,
+    prototypes: np.ndarray,
+    model_config: ModelConfig = DEFAULT_MODEL_CONFIG,
+    truncation: float = 1.0,
+    seed: int = 0,
+    batch: int = 2048,
+) -> np.ndarray:
+    """Batched sampling from the trained generator
+    (reference eval_gan.py:131-135: z ~ N(0,1)·truncation)."""
+    g_params = state["g"]["params"]
+    gen = jax.jit(lambda p, z: generator_apply(g_params, p, z, model_config))
+    key = jax.random.PRNGKey(seed)
+    outs = []
+    for i in range(0, len(prototypes), batch):
+        chunk = jnp.asarray(prototypes[i : i + batch], jnp.float32)
+        key, sub = jax.random.split(key)
+        z = jax.random.normal(sub, (chunk.shape[0], model_config.latent_dim)) * truncation
+        outs.append(np.asarray(gen(chunk, z)))
+    return np.concatenate(outs, axis=0)

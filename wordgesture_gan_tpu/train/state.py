@@ -45,23 +45,30 @@ def init_gan_state(
     model_config: ModelConfig = DEFAULT_MODEL_CONFIG,
     training_config: TrainingConfig = DEFAULT_TRAINING_CONFIG,
 ) -> Dict:
-    """Fresh train state for (G, E, D1, D2)."""
-    kg, ke, kd1, kd2, krng = jax.random.split(key, 5)
-    tx = make_optimizer(training_config.grad_clip_norm)
+    """Fresh train state for (G, E, D1, D2).
 
-    g_params = generator_init(kg, model_config)
-    e_params = encoder_init(ke, model_config)
-    d1_params, d1_sn = disc_init(kd1, model_config)
-    d2_params, d2_sn = disc_init(kd2, model_config)
+    Initialization runs on the host CPU backend: it is hundreds of tiny
+    random ops, which would each cost a dispatch round-trip on an accelerator
+    (pathological through a remote-TPU tunnel); the caller device_puts the
+    finished pytree onto the mesh in one shot.
+    """
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        kg, ke, kd1, kd2, krng = jax.random.split(key, 5)
+        tx = make_optimizer(training_config.grad_clip_norm)
 
-    return {
-        "g": {"params": g_params, "opt": tx.init(g_params)},
-        "e": {"params": e_params, "opt": tx.init(e_params)},
-        "d1": {"params": d1_params, "opt": tx.init(d1_params), "sn": d1_sn},
-        "d2": {"params": d2_params, "opt": tx.init(d2_params), "sn": d2_sn},
-        "rng": krng,
-        "epoch": jnp.zeros((), jnp.int32),
-    }
+        g_params = generator_init(kg, model_config)
+        e_params = encoder_init(ke, model_config)
+        d1_params, d1_sn = disc_init(kd1, model_config)
+        d2_params, d2_sn = disc_init(kd2, model_config)
+
+        return {
+            "g": {"params": g_params, "opt": tx.init(g_params)},
+            "e": {"params": e_params, "opt": tx.init(e_params)},
+            "d1": {"params": d1_params, "opt": tx.init(d1_params), "sn": d1_sn},
+            "d2": {"params": d2_params, "opt": tx.init(d2_params), "sn": d2_sn},
+            "rng": krng,
+            "epoch": jnp.zeros((), jnp.int32),
+        }
 
 
 def param_count(state: Dict) -> Dict[str, int]:
