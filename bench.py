@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Benchmark: GAN training throughput (gestures/sec/chip) on the fused
+two-cycle WGAN step at reference scale.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline derivation: the reference trains 200 epochs on the capped swipelogs
+dataset in 17 min on an L40S (/root/reference/CLAUDE.md:98). The capped
+dataset is ~30k train gestures (sum of min(count,5) over wordfreq.txt × 0.8
+train ratio = 29,980), so the reference throughput is
+200 × 29,980 / 1,020 s ≈ 5,880 gestures/sec through the full two-cycle
+n_critic=5 step. vs_baseline = ours_per_chip / 5880.
+"""
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+BASELINE_GESTURES_PER_SEC = 5880.0  # reference L40S (see module docstring)
+N_TRAIN = 29_980                    # reference capped train-set size
+BATCH_SIZE = 512
+N_CRITIC = 5
+WARMUP_EPOCHS = 1
+TIMED_EPOCHS = 3
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from wordgesture_gan_tpu.configs import ModelConfig, RuntimeConfig, TrainingConfig
+    from wordgesture_gan_tpu.parallel.mesh import batch_sharding, create_mesh, packed_replicate, replicate
+    from wordgesture_gan_tpu.train.gan_step import gan_train_epoch, make_epoch_batches
+    from wordgesture_gan_tpu.train.state import init_gan_state
+
+    model_config = ModelConfig()
+    training_config = TrainingConfig(batch_size=BATCH_SIZE, n_critic=N_CRITIC)
+    runtime_config = RuntimeConfig()
+
+    mesh = create_mesh()
+    n_chips = int(mesh.devices.size)
+
+    # Reference-scale random gesture data (preprocessing is benchmarked
+    # separately; the train step only sees (N, L, 3) float32 arrays).
+    rng = np.random.default_rng(0)
+    L = model_config.seq_length
+    gestures = rng.uniform(-1, 1, (N_TRAIN, L, 3)).astype(np.float32)
+    prototypes = rng.uniform(-1, 1, (N_TRAIN, L, 3)).astype(np.float32)
+
+    g_dev = replicate(mesh, jnp.asarray(gestures))
+    p_dev = replicate(mesh, jnp.asarray(prototypes))
+    state = packed_replicate(mesh, init_gan_state(0, model_config, training_config))
+
+    batch_shard = batch_sharding(mesh, batch_axis=1)
+    epoch_fn = jax.jit(
+        lambda s, eb, lr: gan_train_epoch(s, eb, lr, model_config, training_config),
+        donate_argnums=(0,),
+    )
+
+    samples_per_epoch = (N_TRAIN // BATCH_SIZE) * BATCH_SIZE
+    lr = jnp.float32(2e-4)
+
+    def run_epoch(state, epoch):
+        key = jax.random.fold_in(jax.random.PRNGKey(1), epoch)
+        eb = make_epoch_batches(key, g_dev, p_dev, BATCH_SIZE)
+        eb = jax.device_put(eb, jax.tree.map(lambda _: batch_shard, eb))
+        state, traces = epoch_fn(state, eb, lr)
+        # Force full materialization — on experimental PJRT backends
+        # block_until_ready alone has been observed to return early.
+        float(np.mean(np.asarray(traces["d1_loss"])))
+        return state
+
+    for e in range(WARMUP_EPOCHS):
+        t = time.perf_counter()
+        state = run_epoch(state, e)
+        print(f"warmup epoch {e}: {time.perf_counter() - t:.2f}s", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    for e in range(TIMED_EPOCHS):
+        t = time.perf_counter()
+        state = run_epoch(state, WARMUP_EPOCHS + e)
+        print(f"timed epoch {e}: {time.perf_counter() - t:.2f}s", file=sys.stderr)
+    dt = time.perf_counter() - t0
+
+    per_sec = TIMED_EPOCHS * samples_per_epoch / dt
+    per_sec_per_chip = per_sec / n_chips
+
+    print(json.dumps({
+        "metric": "gan_train_gestures_per_sec_per_chip",
+        "value": round(per_sec_per_chip, 1),
+        "unit": "gestures/s/chip (two-cycle WGAN step, n_critic=5, batch 512)",
+        "vs_baseline": round(per_sec_per_chip / BASELINE_GESTURES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -74,7 +74,7 @@ def main() -> None:
         from wordgesture_gan_tpu.train.gan_loop import generate_gestures
         from wordgesture_gan_tpu.train.state import init_gan_state
 
-        template = init_gan_state(jax.random.PRNGKey(args.seed), model_config, training_config)
+        template = init_gan_state(args.seed, model_config, training_config)
         state = restore_checkpoint(template, args.checkpoint_dir)
         if state is None:
             log(f"  ERROR: No checkpoint found in {args.checkpoint_dir}")

@@ -1,1 +1,1 @@
-from .mesh import batch_sharding, create_mesh, replicate, replicated, shard_batch
+from .mesh import batch_sharding, create_mesh, packed_replicate, replicate, replicated, shard_batch

@@ -54,3 +54,42 @@ def replicate(mesh: Mesh, tree):
     batched transfer)."""
     sharding = replicated(mesh)
     return jax.device_put(tree, jax.tree.map(lambda _: sharding, tree))
+
+
+def packed_replicate(mesh: Mesh, tree):
+    """Replicate a many-leaf pytree with ONE transfer per dtype.
+
+    Per-leaf device_put costs a dispatch round-trip per array — ~0.5 s each
+    through a remote-TPU tunnel, minutes for a 200-leaf train state. Here the
+    leaves are concatenated host-side into one flat buffer per dtype,
+    transferred once, and unpacked on device by a single jitted function.
+    """
+    import numpy as np
+
+    leaves, treedef = jax.tree.flatten(tree)
+    sharding = replicated(mesh)
+
+    order_by_dtype = {}
+    for i, leaf in enumerate(leaves):
+        order_by_dtype.setdefault(np.dtype(jax.numpy.asarray(leaf).dtype if not hasattr(leaf, "dtype") else leaf.dtype), []).append(i)
+
+    host_bufs = {}
+    for dt, idxs in order_by_dtype.items():
+        host_bufs[dt] = np.concatenate([np.ravel(np.asarray(leaves[i])) for i in idxs])
+
+    dev_bufs = {dt: jax.device_put(buf, sharding) for dt, buf in host_bufs.items()}
+
+    def unpack(bufs):
+        out = [None] * len(leaves)
+        for dt, idxs in order_by_dtype.items():
+            offset = 0
+            buf = bufs[str(dt)]
+            for i in idxs:
+                size = int(np.prod(np.shape(leaves[i]), dtype=np.int64)) if np.shape(leaves[i]) else 1
+                chunk = jax.lax.dynamic_slice_in_dim(buf, offset, size)
+                out[i] = chunk.reshape(np.shape(leaves[i]))
+                offset += size
+        return jax.tree.unflatten(treedef, out)
+
+    unpack_jit = jax.jit(unpack, out_shardings=jax.tree.map(lambda _: sharding, tree))
+    return unpack_jit({str(dt): b for dt, b in dev_bufs.items()})

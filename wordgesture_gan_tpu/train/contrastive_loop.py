@@ -1,0 +1,227 @@
+"""Contrastive encoder training: fused SupCon step, on-device epoch scan,
+centroid-based recall evaluation, checkpoint/resume.
+
+Re-design of the reference trainer (/root/reference/src/contrastive/trainer.py):
+the per-batch torch loop becomes one jitted ``lax.scan`` per epoch over a
+host-sampled (n_batches, N*K) index matrix gathered from the device-resident
+gesture store; evaluation computes per-word centroids with one segment-sum.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..configs import DEFAULT_CONTRASTIVE_CONFIG, ContrastiveConfig
+from ..data.contrastive import ContrastiveArrays, sample_epoch_batches
+from ..losses import supervised_contrastive_loss
+from ..models.contrastive import contrastive_encoder_apply, contrastive_encoder_init
+from ..utils.logging import log
+from .checkpoint import restore_checkpoint, save_checkpoint
+from .state import apply_update
+
+
+def make_contrastive_optimizer(grad_clip: float = 1.0) -> optax.GradientTransformation:
+    """clip(1.0) → Adam(0.9, 0.999) statistics; LR applied per step
+    (reference trainer.py:51-55, :95)."""
+    return optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+    )
+
+
+def init_contrastive_state(key, config: ContrastiveConfig = DEFAULT_CONTRASTIVE_CONFIG) -> Dict:
+    """``key``: int seed (preferred — keeps init fully on host CPU) or PRNG key."""
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        if isinstance(key, int):
+            key = jax.random.PRNGKey(key)
+        params, bn_state = contrastive_encoder_init(key, config)
+        tx = make_contrastive_optimizer()
+        return {
+            "params": params,
+            "bn": bn_state,
+            "opt": tx.init(params),
+            "epoch": jnp.zeros((), jnp.int32),
+            "step": jnp.zeros((), jnp.int32),
+            "best_recall": jnp.zeros((), jnp.float32),
+        }
+
+
+def contrastive_train_epoch(
+    state: Dict,
+    gestures: jnp.ndarray,        # (N, L, 3) device-resident store
+    labels: jnp.ndarray,          # (N,)
+    batch_indices: jnp.ndarray,   # (n_batches, B)
+    lr_schedule: Tuple[float, float, int],   # (base_lr, eta_min, total_steps)
+    config: ContrastiveConfig,
+) -> Tuple[Dict, jnp.ndarray]:
+    """One epoch as a lax.scan; per-step cosine annealing on the global step
+    counter (reference trainer.py:203-224)."""
+    base_lr, eta_min, total_steps = lr_schedule
+    tx = make_contrastive_optimizer()
+
+    def step_fn(carry, idx_row):
+        params, bn, opt, step = carry
+        batch = jnp.take(gestures, idx_row, axis=0)
+        batch_labels = jnp.take(labels, idx_row, axis=0)
+        lr = eta_min + (base_lr - eta_min) * 0.5 * (
+            1.0 + jnp.cos(jnp.pi * jnp.minimum(step, total_steps) / total_steps)
+        )
+
+        def loss_fn(p):
+            emb, new_bn = contrastive_encoder_apply(p, bn, batch, train=True)
+            return supervised_contrastive_loss(emb, batch_labels, config.temperature), new_bn
+
+        (loss, new_bn), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        new_params, new_opt = apply_update(params, grads, opt, tx, lr)
+        return (new_params, new_bn, new_opt, step + 1), loss
+
+    carry = (state["params"], state["bn"], state["opt"], state["step"])
+    (params, bn, opt, step), losses = jax.lax.scan(step_fn, carry, batch_indices)
+    new_state = {
+        **state,
+        "params": params, "bn": bn, "opt": opt, "step": step,
+        "epoch": state["epoch"] + 1,
+    }
+    return new_state, losses
+
+
+def embed_gestures(state: Dict, gestures: np.ndarray, config: ContrastiveConfig,
+                   batch: int = 4096) -> np.ndarray:
+    """Eval-mode embeddings for an array of gestures."""
+    enc = jax.jit(
+        lambda x: contrastive_encoder_apply(state["params"], state["bn"], x, train=False)[0]
+    )
+    outs = []
+    for i in range(0, len(gestures), batch):
+        outs.append(np.asarray(enc(jnp.asarray(gestures[i : i + batch], jnp.float32))))
+    return np.concatenate(outs, axis=0) if outs else np.zeros((0, config.embedding_dim), np.float32)
+
+
+def centroid_recall(
+    embeddings: np.ndarray,
+    words: List[str],
+    k_values: Tuple[int, ...] = (1, 5, 10),
+) -> Dict[str, float]:
+    """Centroid-based recall@k: mean + renormalized per-word centroids, then
+    is-the-right-word-in-top-k (reference trainer.py:104-175)."""
+    unique = list(dict.fromkeys(words))
+    word_idx = {w: i for i, w in enumerate(unique)}
+    ids = np.array([word_idx[w] for w in words])
+    n_words = len(unique)
+
+    emb = jnp.asarray(embeddings)
+    seg = jax.ops.segment_sum(emb, jnp.asarray(ids), num_segments=n_words)
+    counts = jax.ops.segment_sum(jnp.ones((len(words),)), jnp.asarray(ids), num_segments=n_words)
+    centroids = seg / counts[:, None]
+    centroids = centroids / (jnp.linalg.norm(centroids, axis=1, keepdims=True) + 1e-12)
+
+    sim = np.asarray(emb @ centroids.T)                       # (n, n_words)
+    max_k = min(max(k_values), n_words)
+    topk = np.argsort(-sim, axis=1)[:, :max_k]
+
+    results = {}
+    for k in k_values:
+        ka = min(k, max_k)
+        hit = (topk[:, :ka] == ids[:, None]).any(axis=1)
+        results[f"recall@{k}"] = float(hit.mean())
+    results["accuracy"] = results["recall@1"]
+    return results
+
+
+def train_contrastive(
+    train_data: ContrastiveArrays,
+    test_data: ContrastiveArrays,
+    config: ContrastiveConfig = DEFAULT_CONTRASTIVE_CONFIG,
+    num_epochs: Optional[int] = None,
+    seed: int = 42,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_name: str = "contrastive_latest",
+    resume: bool = True,
+    eval_every: int = 5,
+    verbose: bool = True,
+) -> Tuple[Dict, Dict[str, list]]:
+    """Full contrastive training run with best-recall checkpointing
+    (reference trainer.py:177-251)."""
+    import random as _random
+
+    say = log if verbose else (lambda *_: None)
+    num_epochs = num_epochs or config.num_epochs
+
+    state = init_contrastive_state(seed, config)
+    start_epoch = 0
+    if resume and checkpoint_dir:
+        restored = restore_checkpoint(state, checkpoint_dir, name=checkpoint_name)
+        if restored is not None:
+            state = restored
+            start_epoch = int(np.asarray(state["epoch"]))
+            say(f"Resumed contrastive training from epoch {start_epoch}")
+
+    g_dev = jnp.asarray(train_data.gestures, jnp.float32)
+    l_dev = jnp.asarray(train_data.labels, jnp.int32)
+
+    n_batches = len([w for w in train_data.unique_words
+                     if len(train_data.word_to_indices[w]) >= config.gestures_per_word]
+                    ) // config.batch_words
+    total_steps = num_epochs * max(n_batches, 1)
+
+    epoch_fn = jax.jit(
+        lambda s, bi: contrastive_train_epoch(
+            s, g_dev, l_dev, bi,
+            (config.learning_rate, config.eta_min, total_steps), config,
+        )
+    )
+
+    sampler_rng = _random.Random(seed)
+    history: Dict[str, list] = {"train_loss": []}
+    best_recall = float(np.asarray(state["best_recall"]))
+
+    for epoch in range(start_epoch, num_epochs):
+        batch_idx = sample_epoch_batches(
+            train_data, config.batch_words, config.gestures_per_word, sampler_rng
+        )
+        t0 = time.perf_counter()
+        state, losses = epoch_fn(state, jnp.asarray(batch_idx))
+        jax.block_until_ready(losses)
+        dt = time.perf_counter() - t0
+        avg_loss = float(np.mean(np.asarray(losses)))
+        history["train_loss"].append(avg_loss)
+        say(f"Epoch {epoch + 1}/{num_epochs} [{dt:.1f}s] loss: {avg_loss:.4f}")
+
+        if (epoch + 1) % eval_every == 0 or epoch == num_epochs - 1:
+            emb = embed_gestures(state, test_data.gestures, config)
+            metrics = centroid_recall(emb, test_data.words)
+            for key, val in metrics.items():
+                history.setdefault(f"test_{key}", []).append(val)
+            say("Evaluation: " + " | ".join(f"{k}: {v:.4f}" for k, v in metrics.items()))
+            if metrics["recall@1"] > best_recall:
+                best_recall = metrics["recall@1"]
+                state = {**state, "best_recall": jnp.float32(best_recall)}
+                if checkpoint_dir:
+                    save_checkpoint(state, checkpoint_dir, epoch, keep_latest=False)
+                    _save_named(state, checkpoint_dir, checkpoint_name)
+                say(f"New best recall@1: {best_recall:.4f}")
+
+    if checkpoint_dir:
+        _save_named(state, checkpoint_dir, checkpoint_name)
+    return state, history
+
+
+def _save_named(state: Dict, checkpoint_dir: str, name: str) -> None:
+    import shutil
+    import orbax.checkpoint as ocp
+
+    base = Path(checkpoint_dir).absolute()
+    base.mkdir(parents=True, exist_ok=True)
+    path = base / name
+    if path.exists():
+        shutil.rmtree(path)
+    host_state = jax.tree.map(np.asarray, jax.device_get(state))
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, host_state)

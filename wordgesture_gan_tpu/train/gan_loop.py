@@ -28,7 +28,7 @@ from ..configs import (
 )
 from ..data.pipeline import GestureArrays
 from ..models.gan import generator_apply
-from ..parallel.mesh import batch_sharding, create_mesh, replicate
+from ..parallel.mesh import batch_sharding, create_mesh, packed_replicate, replicate
 from ..utils.logging import log
 from ..utils.profiling import Throughput
 from .checkpoint import restore_checkpoint, save_checkpoint
@@ -78,7 +78,7 @@ def train_gan(
     g_dev = replicate(mesh, jnp.asarray(train_ds.gestures, jnp.float32))
     p_dev = replicate(mesh, jnp.asarray(train_ds.prototypes, jnp.float32))
 
-    state = init_gan_state(jax.random.PRNGKey(seed), model_config, training_config)
+    state = init_gan_state(seed, model_config, training_config)
     start_epoch = 0
     if resume and checkpoint_dir:
         restored = restore_checkpoint(state, checkpoint_dir)
@@ -86,7 +86,7 @@ def train_gan(
             state = restored
             start_epoch = int(np.asarray(state["epoch"]))
             say(f"Resumed from checkpoint at epoch {start_epoch}")
-    state = replicate(mesh, state)
+    state = packed_replicate(mesh, state)
 
     if start_epoch >= num_epochs:
         say(f"Already trained to epoch {start_epoch}, nothing to do.")

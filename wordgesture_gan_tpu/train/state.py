@@ -45,14 +45,18 @@ def init_gan_state(
     model_config: ModelConfig = DEFAULT_MODEL_CONFIG,
     training_config: TrainingConfig = DEFAULT_TRAINING_CONFIG,
 ) -> Dict:
-    """Fresh train state for (G, E, D1, D2).
+    """Fresh train state for (G, E, D1, D2). ``key`` may be an int seed
+    (preferred) or a PRNG key.
 
     Initialization runs on the host CPU backend: it is hundreds of tiny
     random ops, which would each cost a dispatch round-trip on an accelerator
     (pathological through a remote-TPU tunnel); the caller device_puts the
-    finished pytree onto the mesh in one shot.
+    finished pytree onto the mesh in one shot. An int seed keeps even the key
+    itself off the accelerator.
     """
     with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        if isinstance(key, int):
+            key = jax.random.PRNGKey(key)
         kg, ke, kd1, kd2, krng = jax.random.split(key, 5)
         tx = make_optimizer(training_config.grad_clip_norm)
 
