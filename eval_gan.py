@@ -37,6 +37,8 @@ def main() -> None:
     parser.add_argument("--wandb", action="store_true")
     parser.add_argument("--fast", action="store_true", help="skip DTW Wasserstein")
     parser.add_argument("--checkpoint-dir", type=str, default="checkpoints")
+    parser.add_argument("--generator", choices=["bilstm", "mlp", "transformer"],
+                        default="bilstm", help="generator family")
     parser.add_argument("--save-figures", type=str, default=None,
                         help="directory for comparison/overlay figures")
     add_data_args(parser)
@@ -50,7 +52,7 @@ def main() -> None:
     log("")
     seed_everything(args.seed)
 
-    model_config = ModelConfig()
+    model_config = ModelConfig(generator_type=args.generator)
     training_config = TrainingConfig()
     eval_config = EvaluationConfig(
         n_samples=args.n_samples,

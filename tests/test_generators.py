@@ -1,0 +1,91 @@
+"""Generator-variant tests: MLP and Transformer share the conditional
+generator contract and train through the full two-cycle step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wordgesture_gan_tpu.configs import ModelConfig, TrainingConfig
+from wordgesture_gan_tpu.models import generator_apply, generator_init
+from wordgesture_gan_tpu.train import gan_train_step, init_gan_state
+
+B = 4
+
+
+def _cfg(gen_type, **kw):
+    return ModelConfig(
+        seq_length=32, latent_dim=8, enc_hidden_dims=(24, 16),
+        disc_hidden_dims=(24, 16), gen_hidden_dim=8, gen_num_layers=2,
+        mlp_gen_hidden_dims=(64, 64), tfm_d_model=16, tfm_num_heads=2,
+        tfm_num_layers=2, generator_type=gen_type, **kw,
+    )
+
+
+@pytest.fixture(scope="module")
+def inputs():
+    k = jax.random.PRNGKey(0)
+    kp, kz = jax.random.split(k)
+    proto = jax.random.uniform(kp, (B, 32, 3), minval=-1, maxval=1)
+    z = jax.random.normal(kz, (B, 8))
+    return proto, z
+
+
+@pytest.mark.parametrize("gen_type", ["mlp", "transformer"])
+def test_variant_contract(inputs, gen_type):
+    proto, z = inputs
+    cfg = _cfg(gen_type)
+    params = generator_init(jax.random.PRNGKey(1), cfg)
+    out = jax.jit(lambda p, pr, zz: generator_apply(p, pr, zz, cfg))(params, proto, z)
+    assert out.shape == (B, 32, 3)
+    assert np.abs(np.asarray(out)).max() <= 1.0
+    # conditioned on z
+    z2 = jax.random.normal(jax.random.PRNGKey(2), (B, 8))
+    assert not np.allclose(out, generator_apply(params, proto, z2, cfg))
+    # time channel of prototype ignored (prototype_has_time=False)
+    out2 = generator_apply(params, proto.at[:, :, 2].add(0.3), z, cfg)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-6)
+
+
+@pytest.mark.parametrize("gen_type", ["mlp", "transformer"])
+def test_variant_trains_through_two_cycle_step(inputs, gen_type):
+    proto, z = inputs
+    mcfg = _cfg(gen_type)
+    tcfg = TrainingConfig(batch_size=B, n_critic=1)
+    state = init_gan_state(0, mcfg, tcfg)
+    batch = {"gesture": proto, "prototype": proto}
+    step = jax.jit(lambda s, b, lr: gan_train_step(s, b, lr, mcfg, tcfg))
+    new_state, metrics = step(state, batch, jnp.float32(2e-4))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    changed = sum(
+        not np.allclose(a, b)
+        for a, b in zip(jax.tree.leaves(state["g"]["params"]),
+                        jax.tree.leaves(new_state["g"]["params"]))
+    )
+    assert changed > 0
+
+
+def test_transformer_pad_mask():
+    from wordgesture_gan_tpu.models.generators import (
+        transformer_generator_apply,
+        transformer_generator_init,
+    )
+
+    cfg = _cfg("transformer")
+    params = transformer_generator_init(jax.random.PRNGKey(3), cfg)
+    proto = jax.random.uniform(jax.random.PRNGKey(4), (B, 32, 3))
+    z = jax.random.normal(jax.random.PRNGKey(5), (B, 8))
+
+    mask = jnp.ones((B, 32)).at[:, 16:].set(0)
+    out_masked = transformer_generator_apply(params, proto, z, cfg, pad_mask=mask)
+    # Changing padded-position inputs must not affect valid-position outputs.
+    proto2 = proto.at[:, 20:, :].set(0.77)
+    out_masked2 = transformer_generator_apply(params, proto2, z, cfg, pad_mask=mask)
+    np.testing.assert_allclose(
+        np.asarray(out_masked[:, :16]), np.asarray(out_masked2[:, :16]), atol=1e-5
+    )
+    # Without the mask they would differ.
+    out_nomask = transformer_generator_apply(params, proto, z, cfg)
+    out_nomask2 = transformer_generator_apply(params, proto2, z, cfg)
+    assert not np.allclose(out_nomask[:, :16], out_nomask2[:, :16], atol=1e-5)

@@ -36,6 +36,8 @@ def main() -> None:
     parser.add_argument("--no-resume", action="store_true", help="start fresh")
     parser.add_argument("--batch-size", type=int, default=512)
     parser.add_argument("--checkpoint-dir", type=str, default="checkpoints")
+    parser.add_argument("--generator", choices=["bilstm", "mlp", "transformer"],
+                        default="bilstm", help="generator family")
     parser.add_argument("--wandb", action="store_true", help="log to wandb")
     parser.add_argument("--profile-dir", type=str, default=None,
                         help="capture a jax.profiler trace into this dir")
@@ -49,7 +51,7 @@ def main() -> None:
     log(f"Devices: {jax.devices()}")
     seed_everything(args.seed)
 
-    model_config = ModelConfig()
+    model_config = ModelConfig(generator_type=args.generator)
     training_config = TrainingConfig(num_epochs=args.epochs, batch_size=args.batch_size)
     runtime_config = RuntimeConfig(data_axis_size=args.data_axis_size)
 

@@ -28,9 +28,23 @@ class ModelConfig:
     # Latent space
     latent_dim: int = 32
 
+    # Generator family: "bilstm" (reference parity), "mlp" (BASELINE config 1
+    # baseline variant), or "transformer" (BASELINE config 5 variant — fully
+    # parallel over the sequence, no recurrence; fastest on TPU)
+    generator_type: str = "bilstm"
+
     # Generator (bidirectional LSTM)
     gen_hidden_dim: int = 48
     gen_num_layers: int = 4
+
+    # Generator (MLP variant)
+    mlp_gen_hidden_dims: Tuple[int, ...] = (384, 384, 384)
+
+    # Generator (Transformer variant)
+    tfm_d_model: int = 64
+    tfm_num_heads: int = 4
+    tfm_num_layers: int = 4
+    tfm_mlp_ratio: int = 4
 
     # Discriminator (MLP variant)
     disc_hidden_dims: Tuple[int, ...] = (192, 96, 48, 24)

@@ -52,12 +52,19 @@ def parse_log_file(log_content: str) -> Dict[str, List[RawGesture]]:
             t = int(parts[1])
 
             if event == "touchstart":
+                # Word is committed before the keyboard-dim parse, matching
+                # the reference's statement order (data.py:205-210).
                 word = raw_word.lower()
                 kb_w, kb_h = float(parts[2]), float(parts[3])
                 pts = [(x, y, t)]
             elif event == "touchmove" and word:
+                # The reference parses keyboard dims on every event row while
+                # building the point dict — a malformed value drops the line
+                # (data.py:211-216).
+                float(parts[2]), float(parts[3])
                 pts.append((x, y, t))
             elif event == "touchend" and word and pts:
+                float(parts[2]), float(parts[3])
                 pts.append((x, y, t))
                 if len(pts) >= 3:
                     gestures_by_word.setdefault(word, []).append(

@@ -79,6 +79,14 @@ def load_dataset_from_zip(
     gestures_by_word: Dict[str, List[np.ndarray]] = {}
     n_files = 0
 
+    # Prefer the native C++ parser for the host-side hot loop; fall back to
+    # the pure-Python parser transparently.
+    from .native import parse_log_file_native
+
+    def parse(content: str):
+        parsed = parse_log_file_native(content)
+        return parsed if parsed is not None else parse_log_file(content)
+
     with zipfile.ZipFile(zip_path, "r") as zf:
         log_files = [m for m in zf.namelist() if m.endswith(".log")]
         if max_files:
@@ -90,7 +98,7 @@ def load_dataset_from_zip(
             except Exception as e:  # corrupt member: skip, keep going
                 say(f"Error processing {member}: {e}")
                 continue
-            for word, raw_list in parse_log_file(content).items():
+            for word, raw_list in parse(content).items():
                 bucket = gestures_by_word.setdefault(word, [])
                 for raw in raw_list:
                     bucket.append(normalize_gesture(raw, model_config.seq_length))

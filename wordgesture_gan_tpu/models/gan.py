@@ -65,6 +65,18 @@ def encoder_apply(params, x: jnp.ndarray, rng) -> Tuple[jnp.ndarray, jnp.ndarray
 
 
 def generator_init(key, config: ModelConfig = DEFAULT_MODEL_CONFIG) -> Dict:
+    """Generator factory dispatching on ``config.generator_type``:
+    "bilstm" (reference parity), "mlp", or "transformer"
+    (see models/generators.py for the variants)."""
+    if config.generator_type == "mlp":
+        from .generators import mlp_generator_init
+
+        return mlp_generator_init(key, config)
+    if config.generator_type == "transformer":
+        from .generators import transformer_generator_init
+
+        return transformer_generator_init(key, config)
+
     proto_dim = config.input_dim if config.prototype_has_time else 2
     in_dim = proto_dim + config.latent_dim
     k_lstm, k_out = jax.random.split(key)
@@ -84,6 +96,15 @@ def generator_apply(
     (x, y)-only prototype (time channel withheld when prototype_has_time is
     False — the generator must learn timing from curvature,
     reference models.py:147-157)."""
+    if config.generator_type == "mlp":
+        from .generators import mlp_generator_apply
+
+        return mlp_generator_apply(params, prototype, z, config)
+    if config.generator_type == "transformer":
+        from .generators import transformer_generator_apply
+
+        return transformer_generator_apply(params, prototype, z, config)
+
     L = prototype.shape[1]
     proto = prototype if config.prototype_has_time else prototype[:, :, :2]
     z_seq = jnp.broadcast_to(z[:, None, :], (z.shape[0], L, z.shape[1]))

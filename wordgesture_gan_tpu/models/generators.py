@@ -1,0 +1,137 @@
+"""Alternative generator families: MLP and Transformer.
+
+The reference has a single BiLSTM generator (models.py:89-165). These two
+variants cover the framework's scale configs:
+
+* ``mlp`` — flattened prototype + z through a dense stack; the minimal
+  end-to-end baseline (BASELINE.json config 1).
+* ``transformer`` — pre-LN encoder blocks over the 128-token sequence with
+  learned positions; no recurrence, so the whole forward is batched MXU
+  matmuls + one attention — the TPU-fast variant (BASELINE.json config 5),
+  and it supports variable-length traces via an optional padding mask.
+
+All variants share the conditional-generator contract:
+``apply(params, prototype (B, L, 3), z (B, Z)) → gesture (B, L, 3)``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import DEFAULT_MODEL_CONFIG, ModelConfig
+from .layers import dense, dense_init, leaky_relu
+
+
+def _proto_dim(config: ModelConfig) -> int:
+    return config.input_dim if config.prototype_has_time else 2
+
+
+# ---------------------------------------------------------------------------
+# MLP generator
+# ---------------------------------------------------------------------------
+
+
+def mlp_generator_init(key, config: ModelConfig = DEFAULT_MODEL_CONFIG) -> Dict:
+    in_dim = config.seq_length * _proto_dim(config) + config.latent_dim
+    dims = (in_dim,) + tuple(config.mlp_gen_hidden_dims)
+    keys = jax.random.split(key, len(dims))
+    return {
+        "mlp": [dense_init(keys[i], dims[i], dims[i + 1]) for i in range(len(dims) - 1)],
+        "out": dense_init(keys[-1], dims[-1], config.seq_length * config.input_dim),
+    }
+
+
+def mlp_generator_apply(params, prototype: jnp.ndarray, z: jnp.ndarray,
+                        config: ModelConfig = DEFAULT_MODEL_CONFIG) -> jnp.ndarray:
+    B, L = prototype.shape[:2]
+    proto = prototype if config.prototype_has_time else prototype[:, :, :2]
+    h = jnp.concatenate([proto.reshape(B, -1), z], axis=-1)
+    for layer in params["mlp"]:
+        h = leaky_relu(dense(layer, h))
+    out = dense(params["out"], h)
+    return jnp.tanh(out.reshape(B, L, config.input_dim))
+
+
+# ---------------------------------------------------------------------------
+# Transformer generator
+# ---------------------------------------------------------------------------
+
+
+def _layernorm_init(dim: int) -> Dict:
+    return {"scale": jnp.ones((dim,), jnp.float32), "bias": jnp.zeros((dim,), jnp.float32)}
+
+
+def _layernorm(params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    mean = x.mean(axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * params["scale"] + params["bias"]
+
+
+def _block_init(key, d_model: int, mlp_dim: int) -> Dict:
+    k = jax.random.split(key, 6)
+    return {
+        "ln1": _layernorm_init(d_model),
+        "qkv": dense_init(k[0], d_model, 3 * d_model),
+        "attn_out": dense_init(k[1], d_model, d_model),
+        "ln2": _layernorm_init(d_model),
+        "mlp1": dense_init(k[2], d_model, mlp_dim),
+        "mlp2": dense_init(k[3], mlp_dim, d_model),
+    }
+
+
+def transformer_generator_init(key, config: ModelConfig = DEFAULT_MODEL_CONFIG) -> Dict:
+    d = config.tfm_d_model
+    keys = jax.random.split(key, config.tfm_num_layers + 3)
+    return {
+        "embed": dense_init(keys[0], _proto_dim(config) + config.latent_dim, d),
+        "pos": jax.random.normal(keys[1], (config.seq_length, d)) * 0.02,
+        "blocks": [
+            _block_init(keys[2 + i], d, config.tfm_mlp_ratio * d)
+            for i in range(config.tfm_num_layers)
+        ],
+        "ln_f": _layernorm_init(d),
+        "out": dense_init(keys[-1], d, config.input_dim),
+    }
+
+
+def _attention(block, x: jnp.ndarray, num_heads: int,
+               pad_mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+    B, L, D = x.shape
+    head = D // num_heads
+    qkv = dense(block["qkv"], x).reshape(B, L, 3, num_heads, head)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]          # (B, L, H, h)
+    logits = jnp.einsum("blhd,bmhd->bhlm", q, k) / np.sqrt(head)
+    if pad_mask is not None:
+        # pad_mask: (B, L) with 1 for valid tokens
+        logits = jnp.where(pad_mask[:, None, None, :] > 0, logits, -1e30)
+    attn = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhlm,bmhd->blhd", attn, v).reshape(B, L, D)
+    return dense(block["attn_out"], out)
+
+
+def transformer_generator_apply(
+    params, prototype: jnp.ndarray, z: jnp.ndarray,
+    config: ModelConfig = DEFAULT_MODEL_CONFIG,
+    pad_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Pre-LN transformer encoder over the trace tokens. ``pad_mask`` (B, L)
+    masks attention for variable-length traces (padding positions still emit
+    outputs; consumers mask them)."""
+    B, L = prototype.shape[:2]
+    proto = prototype if config.prototype_has_time else prototype[:, :, :2]
+    z_seq = jnp.broadcast_to(z[:, None, :], (B, L, z.shape[-1]))
+    h = dense(params["embed"], jnp.concatenate([proto, z_seq], axis=-1))
+    h = h + params["pos"][None, :L, :]
+
+    for block in params["blocks"]:
+        h = h + _attention(block, _layernorm(block["ln1"], h), config.tfm_num_heads, pad_mask)
+        m = dense(block["mlp1"], _layernorm(block["ln2"], h))
+        m = dense(block["mlp2"], jax.nn.gelu(m))
+        h = h + m
+
+    h = _layernorm(params["ln_f"], h)
+    return jnp.tanh(dense(params["out"], h))
