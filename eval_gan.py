@@ -36,6 +36,10 @@ def main() -> None:
     parser.add_argument("--precision-k", type=int, default=3)
     parser.add_argument("--wandb", action="store_true")
     parser.add_argument("--fast", action="store_true", help="skip DTW Wasserstein")
+    parser.add_argument("--large-scale", type=int, default=0, metavar="N",
+                        help="distribution metrics at scale: generate N gestures "
+                             "(e.g. 100000) and evaluate with sliced-W2 / energy "
+                             "distance / chunked kNN instead of Hungarian matching")
     parser.add_argument("--checkpoint-dir", type=str, default="checkpoints")
     parser.add_argument("--generator", choices=["bilstm", "mlp", "transformer"],
                         default="bilstm", help="generator family")
@@ -68,6 +72,10 @@ def main() -> None:
     n = min(args.n_samples, len(test_ds))
     real_g = test_ds.gestures[:n]
     words = test_ds.words[:n]
+
+    if args.large_scale:
+        _run_large_scale(args, train_ds, test_ds, model_config, training_config, eval_config)
+        return
 
     gan_fake = None
     if args.model in ("gan", "both"):
@@ -145,6 +153,57 @@ def main() -> None:
 
     log("")
     log("Done.")
+
+
+def _run_large_scale(args, train_ds, test_ds, model_config, training_config, eval_config):
+    """100k-scale evaluation (BASELINE config 4): sample N gestures over
+    test prototypes drawn with replacement, compare against the real test
+    distribution (resampled to N) with scale-friendly estimators."""
+    import jax
+    import numpy as np
+
+    from wordgesture_gan_tpu.metrics.fid import load_or_train_fid_autoencoder
+    from wordgesture_gan_tpu.metrics.large_scale import evaluate_large_scale
+    from wordgesture_gan_tpu.train.checkpoint import restore_checkpoint
+    from wordgesture_gan_tpu.train.gan_loop import generate_gestures
+    from wordgesture_gan_tpu.train.state import init_gan_state
+
+    n = args.large_scale
+    log(f"[large-scale] Evaluating with N={n}")
+
+    template = init_gan_state(args.seed, model_config, training_config)
+    state = restore_checkpoint(template, args.checkpoint_dir)
+    if state is None:
+        log(f"ERROR: No checkpoint found in {args.checkpoint_dir}")
+        sys.exit(1)
+
+    rng = np.random.default_rng(args.seed)
+    proto_idx = rng.integers(0, len(test_ds), n)
+    real_idx = rng.integers(0, len(test_ds), n)
+
+    log(f"[large-scale] Generating {n} gestures (batched)...")
+    import time as _t
+
+    t0 = _t.perf_counter()
+    fake = generate_gestures(state, test_ds.prototypes[proto_idx], model_config,
+                             truncation=args.truncation, seed=args.seed)
+    dt = _t.perf_counter() - t0
+    log(f"[large-scale] Generated {n} gestures in {dt:.1f}s "
+        f"({n / dt / 1e3:.1f}k gestures/s → {60 * n / dt / 1e6:.2f}M/min)")
+
+    real = test_ds.gestures[real_idx]
+    ae_params, _ = load_or_train_fid_autoencoder(
+        train_ds.gestures, model_config, eval_config, cache_dir=args.checkpoint_dir
+    )
+
+    results = evaluate_large_scale(real, fake, ae_params=ae_params, seed=args.seed)
+    log("")
+    log("=" * 60)
+    log(f"Large-scale distribution metrics (N={n})")
+    log("=" * 60)
+    for key, val in results.items():
+        log(f"  {key:<20} {val:.5f}")
+    log("=" * 60)
 
 
 if __name__ == "__main__":

@@ -129,7 +129,10 @@ def fid_from_features(real_features: jnp.ndarray, fake_features: jnp.ndarray) ->
 
 
 def encode_features(params: Dict, gestures: np.ndarray, batch: int = 4096) -> jnp.ndarray:
+    # Params as jit args (device-put once) — closing over host arrays bakes
+    # them into the program, which is pathological to compile remotely.
+    params_dev = jax.device_put(params)
     data = jnp.asarray(gestures, jnp.float32)
-    enc = jax.jit(lambda x: autoencoder_encode(params, x))
-    outs = [enc(data[i : i + batch]) for i in range(0, len(data), batch)]
+    enc = jax.jit(autoencoder_encode)
+    outs = [enc(params_dev, data[i : i + batch]) for i in range(0, len(data), batch)]
     return jnp.concatenate(outs, axis=0)

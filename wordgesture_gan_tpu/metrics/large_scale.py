@@ -1,0 +1,151 @@
+"""Large-scale distribution metrics (BASELINE.json config 4: 100k generated
+gestures).
+
+At n = 100k the reference's eval recipe is infeasible — Hungarian assignment
+is O(n^3) and even materializing the n x n distance matrix is 40 GB. These
+device-friendly estimators replace it:
+
+* sliced Wasserstein-2: project flattened gestures onto random directions,
+  sort, average 1-D W2 — O(K · n log n), all on device;
+* chunked k-NN precision/recall: stream the cross-distance matrix in row
+  blocks, keeping only per-sample "covered" booleans;
+* energy distance: an unbiased two-sample statistic from subsampled pair
+  batches;
+* FID works unchanged (feature moments are O(n · d)).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.stats import pairwise_l2
+
+
+def sliced_wasserstein2(
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    n_projections: int = 128,
+    key: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Sliced W2 between row sets a (n, D) and b (m, D) with n == m.
+
+    Averages the exact 1-D squared-Wasserstein distance over random unit
+    projections; returns its square root (same units as L2)."""
+    key = key if key is not None else jax.random.PRNGKey(0)
+    D = a.shape[1]
+    dirs = jax.random.normal(key, (D, n_projections))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=0, keepdims=True)
+    pa = jnp.sort(a @ dirs, axis=0)        # (n, K)
+    pb = jnp.sort(b @ dirs, axis=0)
+    return jnp.sqrt(jnp.mean((pa - pb) ** 2))
+
+
+def energy_distance(
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    n_pairs: int = 1 << 20,
+    key: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Monte-Carlo energy distance: 2 E|X-Y| - E|X-X'| - E|Y-Y'| over
+    ``n_pairs`` uniformly sampled pairs per term."""
+    key = key if key is not None else jax.random.PRNGKey(1)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    n, m = a.shape[0], b.shape[0]
+
+    def mean_dist(x, y, ki, kj):
+        i = jax.random.randint(ki, (n_pairs,), 0, x.shape[0])
+        j = jax.random.randint(kj, (n_pairs,), 0, y.shape[0])
+        d = x[i] - y[j]
+        return jnp.sqrt(jnp.sum(d * d, axis=-1)).mean()
+
+    return (
+        2.0 * mean_dist(a, b, k1, k2)
+        - mean_dist(a, a, k1, k3)
+        - mean_dist(b, b, k2, k4)
+    )
+
+
+def chunked_knn_precision_recall(
+    real_flat: np.ndarray,
+    fake_flat: np.ndarray,
+    k: int = 3,
+    row_chunk: int = 2048,
+) -> Tuple[float, float]:
+    """k-NN manifold precision/recall without materializing n x m matrices.
+
+    Radii: per-sample distance to the k-th same-set neighbor, computed by
+    streaming row blocks and keeping a running (k+1)-smallest set via
+    top-k on the negated block. Coverage: same streaming with running OR.
+    """
+    real_d = jnp.asarray(real_flat, jnp.float32)
+    fake_d = jnp.asarray(fake_flat, jnp.float32)
+
+    def radii(x: jnp.ndarray) -> jnp.ndarray:
+        n = x.shape[0]
+        out = []
+        smallest = jax.jit(lambda rows, full: -jax.lax.top_k(
+            -pairwise_l2(rows, full), k + 1)[0][:, k])
+        for s in range(0, n, row_chunk):
+            out.append(np.asarray(smallest(x[s : s + row_chunk], x)))
+        return jnp.asarray(np.concatenate(out))
+
+    real_radii = radii(real_d)     # includes self-distance at rank 0
+    fake_radii = radii(fake_d)
+
+    covered_fake = np.zeros(fake_d.shape[0], dtype=bool)   # within a real ball
+    covered_real = np.zeros(real_d.shape[0], dtype=bool)   # within a fake ball
+
+    cross_fn = jax.jit(lambda a_rows, b: pairwise_l2(a_rows, b))
+    n = real_d.shape[0]
+    for s in range(0, n, row_chunk):
+        rows = real_d[s : s + row_chunk]
+        d = cross_fn(rows, fake_d)                          # (chunk, m)
+        covered_fake |= np.asarray(jnp.any(d <= real_radii[s : s + row_chunk, None], axis=0))
+        covered_real[s : s + row_chunk] = np.asarray(jnp.any(d <= fake_radii[None, :], axis=1))
+
+    precision = float(covered_fake.mean())
+    recall = float(covered_real.mean())
+    return precision, recall
+
+
+def evaluate_large_scale(
+    real_gestures: np.ndarray,
+    fake_gestures: np.ndarray,
+    ae_params=None,
+    n_projections: int = 256,
+    knn_k: int = 3,
+    seed: int = 0,
+) -> Dict[str, float]:
+    """Distribution metrics at 100k scale: sliced W2 and energy distance on
+    flattened (x, y), chunked k-NN precision/recall, and FID when a trained
+    feature autoencoder is provided."""
+    n = min(len(real_gestures), len(fake_gestures))
+    real_xy = jnp.asarray(real_gestures[:n, :, :2].reshape(n, -1), jnp.float32)
+    fake_xy = jnp.asarray(fake_gestures[:n, :, :2].reshape(n, -1), jnp.float32)
+
+    key = jax.random.PRNGKey(seed)
+    k1, k2 = jax.random.split(key)
+    results = {
+        "sliced_w2": float(sliced_wasserstein2(real_xy, fake_xy, n_projections, k1)),
+        "energy_distance": float(energy_distance(real_xy, fake_xy, key=k2)),
+        "n_samples": float(n),
+    }
+
+    precision, recall = chunked_knn_precision_recall(
+        np.asarray(real_xy), np.asarray(fake_xy), k=knn_k
+    )
+    results["precision"] = precision
+    results["recall"] = recall
+
+    if ae_params is not None:
+        from .fid import encode_features, fid_from_features
+
+        real_feat = encode_features(ae_params, real_gestures[:n])
+        fake_feat = encode_features(ae_params, fake_gestures[:n])
+        results["fid"] = fid_from_features(real_feat, fake_feat)
+
+    return results

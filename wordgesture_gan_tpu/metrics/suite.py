@@ -118,8 +118,10 @@ def evaluate_all_metrics(
     fake_features = encode_features(ae_params, fake_gestures)
     from ..models.gan import autoencoder_apply
 
-    recon = autoencoder_apply(ae_params, real_d)
-    results["ae_test_loss"] = float(jnp.abs(recon - real_d).mean())
+    import jax
+
+    ae_test = jax.jit(lambda p, x: jnp.abs(autoencoder_apply(p, x) - x).mean())
+    results["ae_test_loss"] = float(ae_test(jax.device_put(ae_params), real_d))
     results["fid"] = fid_from_features(real_features, fake_features)
 
     # --- k-NN precision / recall (evaluation.py:470-488)

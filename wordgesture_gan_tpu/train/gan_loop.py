@@ -123,6 +123,15 @@ def train_gan(
         throughput.update(samples_per_epoch, dt)
 
         losses = {k: float(np.mean(v)) for k, v in traces.items()}
+        # Failure detection: a non-finite loss means the run is diverging —
+        # stop before burning epochs / writing a poisoned checkpoint
+        # (the reference has no such guard; SURVEY.md §5).
+        bad = [k for k, v in losses.items() if not np.isfinite(v)]
+        if bad:
+            raise FloatingPointError(
+                f"Non-finite losses at epoch {epoch + 1}: {bad}. "
+                f"Last good checkpoint is in {checkpoint_dir!r}."
+            )
         history.append(losses)
         say(
             f"Epoch {epoch + 1}/{num_epochs} [{dt:.1f}s, "
@@ -157,14 +166,28 @@ def generate_gestures(
     batch: int = 2048,
 ) -> np.ndarray:
     """Batched sampling from the trained generator
-    (reference eval_gan.py:131-135: z ~ N(0,1)·truncation)."""
-    g_params = state["g"]["params"]
-    gen = jax.jit(lambda p, z: generator_apply(g_params, p, z, model_config))
+    (reference eval_gan.py:131-135: z ~ N(0,1)·truncation).
+
+    Params are passed as jit *arguments* (device-resident), never baked as
+    constants — constant-folding a param pytree into the program is
+    pathological through the remote-TPU compile path. The tail chunk is
+    padded to the fixed batch size to avoid a second compile.
+    """
+    g_params = jax.device_put(state["g"]["params"])
+    gen = jax.jit(
+        lambda gp, p, z: generator_apply(gp, p, z, model_config)
+    )
     key = jax.random.PRNGKey(seed)
+    n = len(prototypes)
     outs = []
-    for i in range(0, len(prototypes), batch):
-        chunk = jnp.asarray(prototypes[i : i + batch], jnp.float32)
+    for i in range(0, n, batch):
+        chunk = np.asarray(prototypes[i : i + batch], np.float32)
+        valid = len(chunk)
+        if valid < batch:
+            chunk = np.concatenate(
+                [chunk, np.zeros((batch - valid, *chunk.shape[1:]), np.float32)]
+            )
         key, sub = jax.random.split(key)
-        z = jax.random.normal(sub, (chunk.shape[0], model_config.latent_dim)) * truncation
-        outs.append(np.asarray(gen(chunk, z)))
+        z = jax.random.normal(sub, (batch, model_config.latent_dim)) * truncation
+        outs.append(np.asarray(gen(g_params, jnp.asarray(chunk), z))[:valid])
     return np.concatenate(outs, axis=0)
