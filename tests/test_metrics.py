@@ -256,3 +256,16 @@ def test_evaluate_all_metrics_smoke(gesture_sets):
                                 cached_real=cached, verbose=False)
     assert res2["fid"] == pytest.approx(res["fid"], rel=1e-5)
     assert res2["precision"] == pytest.approx(res["precision"])
+
+
+def test_pallas_dtw_kernel_matches_xla(gesture_sets):
+    """Pallas row-sweep kernel (interpret mode on CPU) vs the XLA version."""
+    from wordgesture_gan_tpu.ops.dtw import dtw_pairs
+    from wordgesture_gan_tpu.ops.dtw_pallas import dtw_pairs_pallas
+
+    real, fake = gesture_sets
+    x = jnp.asarray(real[:, :, :2])
+    y = jnp.asarray(fake[:, :, :2])
+    ref = np.asarray(dtw_pairs(x, y))
+    out = np.asarray(dtw_pairs_pallas(x, y, pair_tile=8, interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=1e-3)

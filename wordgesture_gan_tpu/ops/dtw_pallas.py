@@ -1,0 +1,128 @@
+"""Pallas TPU kernel for batched exact DTW.
+
+Same row-sweep-with-scans math as ``ops.dtw._dtw_from_cost`` (see its
+docstring for the derivation), hand-lowered so that the entire recurrence for
+a tile of pairs runs inside one kernel with every operand VMEM-resident:
+
+  * coordinates are passed as four (P, L) planes (x/y coords of both
+    sequences) — (sublane, lane)-aligned for L = 128;
+  * cost rows are materialized on the fly (no (L, L) cost matrix in memory);
+  * cumsum / cummin are log-depth shift-and-combine ladders on the lane axis;
+  * the only sequential dimension is the L-row loop.
+
+Grid: one program per tile of ``pair_tile`` pairs.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Plain Python float — a jnp scalar here would be a captured constant inside
+# the Pallas kernel trace, which pallas_call rejects.
+_BIG = 1e30
+
+
+def _shift_right(x: jnp.ndarray, s: int, fill) -> jnp.ndarray:
+    """Shift lanes right by static s, filling with ``fill``."""
+    P = x.shape[0]
+    pad = jnp.full((P, s), fill, x.dtype)
+    return jnp.concatenate([pad, x[:, : x.shape[1] - s]], axis=1)
+
+
+def _lane_cumsum(x: jnp.ndarray) -> jnp.ndarray:
+    L = x.shape[1]
+    s = 1
+    while s < L:
+        x = x + _shift_right(x, s, 0.0)
+        s *= 2
+    return x
+
+
+def _lane_cummin(x: jnp.ndarray) -> jnp.ndarray:
+    L = x.shape[1]
+    s = 1
+    while s < L:
+        x = jnp.minimum(x, _shift_right(x, s, _BIG))
+        s *= 2
+    return x
+
+
+def _dtw_kernel(x0_ref, x1_ref, y0_ref, y1_ref, out_ref, *, seq_len: int):
+    import jax.experimental.pallas as pl
+
+    x0 = x0_ref[:]          # (P, L) first-sequence x coords
+    x1 = x1_ref[:]          # (P, L) first-sequence y coords
+    y0 = y0_ref[:]          # (P, L) second-sequence x coords
+    y1 = y1_ref[:]          # (P, L) second-sequence y coords
+
+    P = y0.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (P, y0.shape[1]), 1)
+
+    def cost_row(i):
+        # Extract lane i of the first sequence with a one-hot reduction —
+        # Mosaic cannot prove alignment for an unaligned dynamic lane slice.
+        mask = (lane == i).astype(jnp.float32)
+        cx = jnp.sum(x0 * mask, axis=1, keepdims=True)        # (P, 1)
+        cy = jnp.sum(x1 * mask, axis=1, keepdims=True)
+        dx = cx - y0
+        dy = cy - y1
+        return jnp.sqrt(dx * dx + dy * dy)                    # (P, L)
+
+    # Row 0: only left-moves → prefix sums of the first cost row.
+    d0 = _lane_cumsum(cost_row(0))
+
+    def body(i, d_prev):
+        c = cost_row(i)
+        m = jnp.minimum(d_prev, _shift_right(d_prev, 1, _BIG))
+        s = _lane_cumsum(c)
+        u = m - _shift_right(s, 1, 0.0)
+        return s + _lane_cummin(u)
+
+    d_last = jax.lax.fori_loop(1, seq_len, body, d0)
+    out_ref[:] = d_last[:, seq_len - 1 :]
+
+
+@functools.partial(jax.jit, static_argnames=("pair_tile", "interpret"))
+def dtw_pairs_pallas(x: jnp.ndarray, y: jnp.ndarray, pair_tile: int = 256,
+                     interpret: bool = False) -> jnp.ndarray:
+    """DTW distances for aligned pairs via the Pallas kernel.
+
+    x, y: (P, L, 2) float32 → (P,). Pairs are padded to a multiple of
+    ``pair_tile``; L should be lane-friendly (128 in this framework).
+    ``interpret`` runs the kernel in the Pallas interpreter (CPU testing).
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    P, L, _ = x.shape
+    n_tiles = -(-P // pair_tile)
+    padded = n_tiles * pair_tile
+    if padded != P:
+        pad = jnp.zeros((padded - P, L, 2), x.dtype)
+        x = jnp.concatenate([x, pad], axis=0)
+        y = jnp.concatenate([y, pad], axis=0)
+
+    planes = (x[:, :, 0], x[:, :, 1], y[:, :, 0], y[:, :, 1])
+
+    in_spec = pl.BlockSpec((pair_tile, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_dtw_kernel, seq_len=L),
+        out_shape=jax.ShapeDtypeStruct((padded, 1), jnp.float32),
+        grid=(n_tiles,),
+        in_specs=[in_spec] * 4,
+        out_specs=pl.BlockSpec((pair_tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(*planes)
+    return out[:P, 0]
+
+
+def pallas_dtw_available() -> bool:
+    """True when running on a TPU backend where the kernel can compile."""
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
