@@ -46,6 +46,9 @@ def resolve_dataset_zip(args: argparse.Namespace) -> str:
             write_synthetic_swipelogs_zip(
                 str(syn_path), n_users=args.synthetic_users, seed=7,
                 wordfreq_path=str(wordfreq) if wordfreq.exists() else None,
+                # Match the real dataset's vocabulary scale (~11k words,
+                # Zipf-weighted) so the capped gesture count is realistic.
+                max_vocab=12000,
             )
         else:
             log(f"Using cached synthetic swipelogs at {syn_path}")

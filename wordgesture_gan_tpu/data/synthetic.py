@@ -44,18 +44,19 @@ _DEFAULT_WORDS = (
 
 def load_word_list(wordfreq_path: Optional[str] = None, max_words: int = 2000) -> List[str]:
     """Word vocabulary for synthesis: the bundled wordfreq table when
-    available, else a built-in common-word list."""
+    available (``count word`` rows, ascending by count — reference
+    dataset/wordfreq.txt), else a built-in common-word list. Returns the
+    ``max_words`` most frequent words, most frequent first."""
     if wordfreq_path and Path(wordfreq_path).exists():
-        words = []
+        entries = []
         with open(wordfreq_path) as f:
             for line in f:
                 parts = line.split()
-                if parts and len(parts[0]) >= 2 and parts[0].isalpha():
-                    words.append(parts[0].lower())
-                if len(words) >= max_words:
-                    break
-        if words:
-            return words
+                if len(parts) >= 2 and parts[0].isdigit() and len(parts[1]) >= 2 and parts[1].isalpha():
+                    entries.append((int(parts[0]), parts[1].lower()))
+        if entries:
+            entries.sort(key=lambda e: -e[0])
+            return [w for _, w in entries[:max_words]]
     return [w for w in _DEFAULT_WORDS if len(w) >= 2]
 
 
@@ -94,6 +95,21 @@ def _render_word_trace(
     return np.column_stack([px, py, t])
 
 
+def word_frequencies(wordfreq_path: Optional[str], words: Sequence[str]) -> Optional[np.ndarray]:
+    """Sampling probabilities for ``words`` from the wordfreq table (None →
+    uniform). Makes synthetic word occurrence Zipf-like, as in real logs."""
+    if not (wordfreq_path and Path(wordfreq_path).exists()):
+        return None
+    counts = {}
+    with open(wordfreq_path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) >= 2 and parts[0].isdigit():
+                counts[parts[1].lower()] = int(parts[0])
+    weights = np.array([counts.get(w, 1) for w in words], dtype=np.float64)
+    return weights / weights.sum()
+
+
 def generate_log_content(
     keyboard: QWERTYKeyboard,
     words: Sequence[str],
@@ -103,13 +119,14 @@ def generate_log_content(
     keyb_w: float = 1080.0,
     keyb_h: float = 360.0,
     error_rate: float = 0.03,
+    word_probs: Optional[np.ndarray] = None,
 ) -> str:
     """One user's `.log` file content (header + event rows)."""
     lines = [HEADER]
     clock = float(rng.integers(10_000, 50_000))
 
     for sent_idx in range(n_sentences):
-        chosen = rng.choice(len(words), size=words_per_sentence, replace=True)
+        chosen = rng.choice(len(words), size=words_per_sentence, replace=True, p=word_probs)
         for wi in chosen:
             word = words[int(wi)]
             trace = _render_word_trace(keyboard, word, rng, keyb_w, keyb_h)
@@ -144,6 +161,7 @@ def write_synthetic_swipelogs_zip(
     """Write a synthetic ``swipelogs.zip`` with ``n_users`` `.log` members."""
     keyboard = QWERTYKeyboard()
     words = load_word_list(wordfreq_path, max_words=max_vocab)
+    probs = word_frequencies(wordfreq_path, words)
     rng = np.random.default_rng(seed)
 
     Path(out_path).parent.mkdir(parents=True, exist_ok=True)
@@ -152,6 +170,7 @@ def write_synthetic_swipelogs_zip(
             content = generate_log_content(
                 keyboard, words, rng,
                 n_sentences=n_sentences, words_per_sentence=words_per_sentence,
+                word_probs=probs,
             )
             zf.writestr(f"user{u:04d}.log", content)
     return out_path

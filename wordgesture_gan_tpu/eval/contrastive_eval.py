@@ -177,15 +177,17 @@ def evaluate_centroids(
 
     rng = np.random.default_rng(seed)
     for n_samples in sample_counts:
-        mj_centroids = []
-        for word in word_list:
-            trajs = np.stack([
-                mj_model.generate_trajectory(word, num_points=config.seq_length, rng=rng)
-                for _ in range(n_samples)
-            ])
-            emb = embed_gestures(state, trajs, config)
-            mj_centroids.append(_normalize_rows(emb.mean(axis=0)))
-        mj_r1 = recall1(np.stack(mj_centroids))
+        # Generate ALL words' trajectories, embed in one batched pass, then
+        # per-word segment means — one device round-trip per sample count
+        # instead of one per word.
+        trajs = np.stack([
+            mj_model.generate_trajectory(word, num_points=config.seq_length, rng=rng)
+            for word in word_list
+            for _ in range(n_samples)
+        ])
+        emb = embed_gestures(state, trajs, config)
+        emb = emb.reshape(len(word_list), n_samples, -1)
+        mj_r1 = recall1(_normalize_rows(emb.mean(axis=1)))
         gap = real_r1 - mj_r1
         say(f"  {n_samples:3d}         {mj_r1:.4f}      {gap:+.4f}")
         results[f"minjerk_{n_samples}_recall@1"] = mj_r1
