@@ -269,3 +269,21 @@ def test_pallas_dtw_kernel_matches_xla(gesture_sets):
     ref = np.asarray(dtw_pairs(x, y))
     out = np.asarray(dtw_pairs_pallas(x, y, pair_tile=8, interpret=True))
     np.testing.assert_allclose(out, ref, rtol=1e-3)
+
+
+def test_pallas_lstm_kernels_match_xla():
+    """Both Pallas LSTM recurrence variants (interpret mode) vs the XLA scan."""
+    from wordgesture_gan_tpu.models.layers import bilstm_apply, bilstm_init
+    from wordgesture_gan_tpu.ops.lstm_pallas import (
+        bilstm_apply_pallas,
+        bilstm_apply_pallas_dma,
+    )
+
+    key = jax.random.PRNGKey(0)
+    layers = bilstm_init(key, 10, 16, 2)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 32, 10))
+    ref = np.asarray(bilstm_apply(layers, x, 16))
+    tiled = np.asarray(bilstm_apply_pallas(layers, x, 16, interpret=True))
+    np.testing.assert_allclose(tiled, ref, atol=1e-5)
+    dma = np.asarray(bilstm_apply_pallas_dma(layers, x, 16, interpret=True))
+    np.testing.assert_allclose(dma, ref, atol=1e-5)

@@ -123,6 +123,7 @@ def train_gan(
         throughput.update(samples_per_epoch, dt)
 
         losses = {k: float(np.mean(v)) for k, v in traces.items()}
+        losses["lr"] = float(lr)
         # Failure detection: a non-finite loss means the run is diverging —
         # stop before burning epochs / writing a poisoned checkpoint
         # (the reference has no such guard; SURVEY.md §5).
