@@ -103,3 +103,22 @@ def test_split_matches_reference_partition(loaded):
         assert set(ours_test.words) == set(ref_test.words)
     finally:
         sys.path.remove("/root/reference")
+
+
+def test_array_loader_parity(loaded):
+    from wordgesture_gan_tpu.data import create_data_loaders
+    gestures, protos = loaded
+    from wordgesture_gan_tpu.data import create_train_test_split
+    train, test = create_train_test_split(gestures, protos, 0.8, seed=42, verbose=False)
+    train_loader, test_loader = create_data_loaders(train, test, batch_size=32)
+    n_seen = 0
+    for batch in train_loader:
+        assert batch["gesture"].shape == (32, 128, 3)   # drop_last
+        assert len(batch["word"]) == 32
+        n_seen += 32
+    assert n_seen == (len(train) // 32) * 32
+    # test loader keeps the tail batch and original order
+    batches = list(test_loader)
+    total = sum(len(b["word"]) for b in batches)
+    assert total == len(test)
+    np.testing.assert_array_equal(batches[0]["gesture"][0], test.gestures[0])

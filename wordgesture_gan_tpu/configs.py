@@ -170,12 +170,6 @@ class RuntimeConfig:
     data_axis_size: int = -1
     mesh_axis_names: Tuple[str, ...] = ("data",)
 
-    # Compute dtype for matmuls inside the step (params stay f32)
-    compute_dtype: str = "bfloat16"
-
-    # Fuse the whole epoch into one XLA computation via lax.scan over batches
-    scan_epoch: bool = True
-
     # Donate train state buffers to the step for in-place updates
     donate_state: bool = True
 

@@ -1,7 +1,17 @@
 from .parse import RawGesture, parse_log_file
+from .contrastive import (
+    ContrastiveArrays,
+    ContrastiveBatchSampler,
+    augment_with_minimum_jerk,
+    create_contrastive_datasets,
+    sample_epoch_batches,
+    word_labels_to_array,
+)
 from .pipeline import (
+    ArrayLoader,
     GestureArrays,
     GestureDataset,
+    create_data_loaders,
     create_train_test_split,
     load_dataset_from_zip,
 )

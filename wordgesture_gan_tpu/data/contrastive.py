@@ -112,6 +112,43 @@ def sample_epoch_batches(
     return np.asarray(rows, dtype=np.int32)
 
 
+class ContrastiveBatchSampler:
+    """Iterator-style wrapper over ``sample_epoch_batches`` — API-parity
+    shim for the reference sampler class (dataset.py:120-192). Each
+    iteration yields one epoch's batch index rows."""
+
+    def __init__(self, data: ContrastiveArrays, batch_words: int = 32,
+                 gestures_per_word: int = 2, seed: int = 0):
+        self.data = data
+        self.batch_words = batch_words
+        self.gestures_per_word = gestures_per_word
+        self._rng = random.Random(seed)
+        eligible = [w for w in data.unique_words
+                    if len(data.word_to_indices[w]) >= gestures_per_word]
+        if len(eligible) < batch_words:
+            raise ValueError(
+                f"Not enough words with >= {gestures_per_word} gestures. "
+                f"Have {len(eligible)}, need {batch_words}"
+            )
+        self.batches_per_epoch = len(eligible) // batch_words
+
+    def __len__(self) -> int:
+        return self.batches_per_epoch
+
+    def __iter__(self):
+        rows = sample_epoch_batches(self.data, self.batch_words,
+                                    self.gestures_per_word, self._rng)
+        yield from (row for row in rows)
+
+
+def word_labels_to_array(word_labels) -> np.ndarray:
+    """Word strings → int32 labels (reference model.py:192-209; arbitrary
+    but consistent mapping within the call)."""
+    unique = list(set(word_labels))
+    label_of = {w: i for i, w in enumerate(unique)}
+    return np.array([label_of[w] for w in word_labels], dtype=np.int32)
+
+
 def create_contrastive_datasets(
     gestures_by_word: Dict[str, List[np.ndarray]],
     train_ratio: float = 0.8,

@@ -225,3 +225,50 @@ def create_train_test_split(
     if verbose:
         print(f"Training samples: {len(train_ds)}, Test samples: {len(test_ds)}")
     return train_ds, test_ds
+
+
+class ArrayLoader:
+    """Minimal host-side batch iterator over a ``GestureArrays`` split —
+    API-parity stand-in for the reference's torch DataLoader
+    (data.py:508-543). The TPU training path does NOT use this (it shuffles
+    and batches on device, gan_step.make_epoch_batches); it exists for
+    host-side consumers and interactive use."""
+
+    def __init__(self, dataset: GestureArrays, batch_size: int = 512,
+                 shuffle: bool = False, drop_last: bool = False, seed: int = 0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self):
+        n = len(self.dataset)
+        order = self._rng.permutation(n) if self.shuffle else np.arange(n)
+        end = (n // self.batch_size) * self.batch_size if self.drop_last else n
+        for start in range(0, end, self.batch_size):
+            idx = order[start : start + self.batch_size]
+            yield {
+                "gesture": self.dataset.gestures[idx],
+                "prototype": self.dataset.prototypes[idx],
+                "word": [self.dataset.words[i] for i in idx],
+            }
+
+
+def create_data_loaders(
+    train_dataset: GestureArrays,
+    test_dataset: GestureArrays,
+    batch_size: int = 512,
+    num_workers: int = 0,   # accepted for signature parity; host iteration is in-process
+    seed: int = 0,
+) -> Tuple[ArrayLoader, ArrayLoader]:
+    """Train (shuffled, drop-last) and test (ordered) batch iterators
+    (reference data.py:508-543)."""
+    return (
+        ArrayLoader(train_dataset, batch_size, shuffle=True, drop_last=True, seed=seed),
+        ArrayLoader(test_dataset, batch_size, shuffle=False, drop_last=False),
+    )

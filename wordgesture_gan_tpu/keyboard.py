@@ -203,6 +203,23 @@ def minimum_jerk_quintic(t: np.ndarray) -> np.ndarray:
     return t3 * (10.0 + t * (-15.0 + 6.0 * t))
 
 
+def quintic_hermite_segment(
+    p0: np.ndarray, p1: np.ndarray,
+    v0: np.ndarray, v1: np.ndarray,
+    a0: np.ndarray, a1: np.ndarray,
+    t: np.ndarray,
+) -> np.ndarray:
+    """Quintic Hermite interpolation for one segment given endpoint position/
+    velocity/acceleration (reference keyboard.py:295-338). Returns
+    (len(t), 2)."""
+    h00, h01, h10, h11, h20, h21 = quintic_hermite_bases(t)
+    return (
+        np.outer(h00, p0) + np.outer(h01, p1)
+        + np.outer(h10, v0) + np.outer(h11, v1)
+        + np.outer(h20, a0) + np.outer(h21, a1)
+    )
+
+
 def quintic_hermite_bases(t: np.ndarray) -> Tuple[np.ndarray, ...]:
     """The six quintic Hermite basis functions h00,h01,h10,h11,h20,h21
     evaluated at t (reference keyboard.py:316-333)."""
