@@ -58,6 +58,20 @@ def main() -> None:
     train_ds, test_ds, keyboard = load_split(args, model_config, training_config)
     log(f"Data: {len(train_ds)} train, {len(test_ds)} test")
 
+    # W&B run continuity across resume: the run id is persisted next to the
+    # checkpoints (reference keeps it inside the torch checkpoint,
+    # train_gan.py:114,191).
+    from wordgesture_gan_tpu.train.checkpoint import (
+        latest_epoch,
+        load_run_metadata,
+        save_run_metadata,
+    )
+
+    # Only attach to a prior W&B run when there is an actual checkpoint to
+    # resume from (reference gates the same way, train_gan.py:109-114) —
+    # otherwise a fresh epoch-0 run would overwrite the old run's history.
+    resuming = not args.no_resume and latest_epoch(args.checkpoint_dir) > 0
+    prior_run_id = load_run_metadata(args.checkpoint_dir).get("wandb_run_id") if resuming else None
     wb = maybe_wandb(
         args.wandb,
         project=PathsConfig().wandb_project,
@@ -66,7 +80,11 @@ def main() -> None:
              f"{training_config.lambda_rec}_{training_config.lambda_kld}",
         config={"model": asdict(model_config), "training": asdict(training_config),
                 "num_epochs": args.epochs},
+        resume="allow",
+        id=prior_run_id,
     )
+    if wb is not None:
+        save_run_metadata(args.checkpoint_dir, wandb_run_id=wb.run.id)
 
     from wordgesture_gan_tpu.train.gan_loop import generate_gestures, train_gan
 

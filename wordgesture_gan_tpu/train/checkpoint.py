@@ -49,9 +49,58 @@ def restore_checkpoint(template: Dict, checkpoint_dir: str, name: str = "latest"
     if not path.exists():
         return None
     with ocp.PyTreeCheckpointer() as ckptr:
-        restored = ckptr.restore(path, item=_as_host(template))
+        try:
+            restored = ckptr.restore(path, item=_as_host(template))
+        except Exception as e:
+            raise ValueError(
+                f"Failed to restore checkpoint at {path}. Likely causes: the "
+                f"current model configuration does not match the one that "
+                f"wrote it (e.g. a different --generator family or changed "
+                f"layer sizes), or the checkpoint is partial/corrupt from an "
+                f"interrupted save. Use the matching config, an intact "
+                f"epoch_N snapshot, or a fresh --checkpoint-dir. "
+                f"Underlying error: {e}"
+            ) from e
     # Return host arrays; the caller device_puts onto its mesh in one shot.
     return restored
+
+
+def save_run_metadata(checkpoint_dir: str, **fields) -> None:
+    """Sidecar run metadata (e.g. wandb run id) alongside the checkpoints —
+    the reference stores wandb_run_id inside the torch checkpoint dict
+    (train_gan.py:191); Orbax pytrees hold arrays only, so it lives here."""
+    import json
+    import os
+    import tempfile
+
+    base = Path(checkpoint_dir).absolute()
+    base.mkdir(parents=True, exist_ok=True)
+    meta_path = base / "run_meta.json"
+    meta = load_run_metadata(checkpoint_dir)
+    meta.update(fields)
+    # Atomic write: a kill mid-write must not leave a truncated file that
+    # poisons every later startup.
+    fd, tmp = tempfile.mkstemp(dir=base, prefix=".run_meta_", suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            f.write(json.dumps(meta, indent=2))
+        os.replace(tmp, meta_path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def load_run_metadata(checkpoint_dir: str) -> dict:
+    import json
+
+    meta_path = Path(checkpoint_dir).absolute() / "run_meta.json"
+    if not meta_path.exists():
+        return {}
+    try:
+        return json.loads(meta_path.read_text())
+    except (json.JSONDecodeError, OSError):
+        return {}   # corrupt sidecar must not block training
 
 
 def latest_epoch(checkpoint_dir: str) -> int:
