@@ -1,0 +1,96 @@
+"""Variable-length trace support (BASELINE config 5): data, masks, masked
+train step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wordgesture_gan_tpu.configs import ModelConfig, TrainingConfig
+from wordgesture_gan_tpu.data.parse import RawGesture
+from wordgesture_gan_tpu.data.variable_length import (
+    length_mask,
+    normalize_gesture_variable,
+)
+from wordgesture_gan_tpu.train.masked_step import (
+    gan_train_step_masked,
+    masked_reconstruction_loss,
+)
+from wordgesture_gan_tpu.train.state import init_gan_state
+
+
+def _raw(n_pts, scale=1.0):
+    rng = np.random.default_rng(n_pts)
+    xs = np.cumsum(rng.uniform(5, 20, n_pts)) * scale + 100
+    ys = 150 + 30 * np.sin(np.linspace(0, 3, n_pts))
+    ts = np.cumsum(rng.integers(5, 30, n_pts)).astype(float)
+    return RawGesture(np.column_stack([xs, ys, ts]), 1080.0, 360.0)
+
+
+def test_variable_resampling_scales_with_length():
+    short, n_short = normalize_gesture_variable(_raw(10, scale=0.2), max_len=128)
+    long, n_long = normalize_gesture_variable(_raw(200, scale=3.0), max_len=128)
+    assert short.shape == long.shape == (128, 3)
+    assert n_short < n_long <= 128
+    # padding repeats the last valid point
+    np.testing.assert_array_equal(short[n_short:], np.tile(short[n_short - 1], (128 - n_short, 1)))
+    # valid region is a sane trace
+    assert np.isfinite(short).all()
+    assert short[:n_short, 2].min() >= 0 and short[:n_short, 2].max() <= 1
+
+
+def test_length_mask():
+    m = length_mask(np.array([2, 4]), 5)
+    np.testing.assert_array_equal(m, [[1, 1, 0, 0, 0], [1, 1, 1, 1, 0]])
+
+
+def test_masked_reconstruction_ignores_padding():
+    real = jnp.ones((2, 8, 3))
+    fake = jnp.zeros((2, 8, 3))
+    mask = jnp.asarray(length_mask(np.array([4, 8]), 8))
+    loss = float(masked_reconstruction_loss(real, fake, mask))
+    assert loss == pytest.approx(1.0)
+    # corrupting only padded rows changes nothing
+    fake2 = fake.at[0, 6:].set(99.0)
+    assert float(masked_reconstruction_loss(real, fake2, mask)) == pytest.approx(1.0)
+
+
+def test_masked_train_step_runs_and_updates():
+    mcfg = ModelConfig(seq_length=32, latent_dim=8, enc_hidden_dims=(24, 16),
+                       disc_hidden_dims=(24, 16), generator_type="transformer",
+                       tfm_d_model=16, tfm_num_heads=2, tfm_num_layers=2)
+    tcfg = TrainingConfig(batch_size=4, n_critic=1)
+    state = init_gan_state(0, mcfg, tcfg)
+
+    rng = np.random.default_rng(0)
+    B, L = 4, 32
+    lengths = np.array([12, 20, 32, 7])
+    batch = {
+        "gesture": jnp.asarray(rng.uniform(-1, 1, (B, L, 3)), jnp.float32),
+        "prototype": jnp.asarray(rng.uniform(-1, 1, (B, L, 3)), jnp.float32),
+        "mask": jnp.asarray(length_mask(lengths, L)),
+    }
+    step = jax.jit(lambda s, b, lr: gan_train_step_masked(s, b, lr, mcfg, tcfg))
+    new_state, metrics = step(state, batch, jnp.float32(2e-4))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    changed = sum(
+        not np.allclose(a, b)
+        for a, b in zip(jax.tree.leaves(state["g"]["params"]),
+                        jax.tree.leaves(new_state["g"]["params"]))
+    )
+    assert changed > 0
+
+
+def test_masked_step_rejects_non_transformer():
+    mcfg = ModelConfig(seq_length=32, latent_dim=8, enc_hidden_dims=(24, 16),
+                       disc_hidden_dims=(24, 16), generator_type="bilstm")
+    tcfg = TrainingConfig(batch_size=2, n_critic=1)
+    state = init_gan_state(0, mcfg, tcfg)
+    batch = {
+        "gesture": jnp.zeros((2, 32, 3)),
+        "prototype": jnp.zeros((2, 32, 3)),
+        "mask": jnp.ones((2, 32)),
+    }
+    with pytest.raises(AssertionError):
+        gan_train_step_masked(state, batch, jnp.float32(1e-4), mcfg, tcfg)
