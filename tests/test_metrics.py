@@ -287,3 +287,45 @@ def test_pallas_lstm_kernels_match_xla():
     np.testing.assert_allclose(tiled, ref, atol=1e-5)
     dma = np.asarray(bilstm_apply_pallas_dma(layers, x, 16, interpret=True))
     np.testing.assert_allclose(dma, ref, atol=1e-5)
+
+
+def test_batched_resample_matches_host():
+    """Device resampling kernel vs the host numpy resampler on padded input."""
+    from wordgesture_gan_tpu.keyboard import resample_polyline_by_arclength
+    from wordgesture_gan_tpu.ops.resample import batched_arclength_resample
+
+    rng = np.random.default_rng(0)
+    N_max = 24
+    polys, lens = [], []
+    for n in (5, 9, 24, 2):
+        p = np.cumsum(rng.normal(0, 0.3, (n, 2)), axis=0)
+        padded = np.zeros((N_max, 2), np.float32)
+        padded[:n] = p
+        padded[n:] = p[-1]
+        polys.append(padded)
+        lens.append(n)
+    out = np.asarray(batched_arclength_resample(
+        jnp.asarray(np.stack(polys)), jnp.asarray(lens), out_len=64))
+    for row, (padded, n) in zip(out, zip(polys, lens)):
+        ref = resample_polyline_by_arclength(padded[:n].astype(np.float64), 64)
+        np.testing.assert_allclose(row, ref, atol=1e-4)
+
+
+def test_batched_word_prototypes_match_host():
+    from wordgesture_gan_tpu.keyboard import QWERTYKeyboard
+    from wordgesture_gan_tpu.ops.resample import batched_word_prototypes
+
+    kb = QWERTYKeyboard()
+    words = ["hello", "when", "aa", "minimum"]
+    K = 8
+    kp = np.zeros((len(words), K, 2), np.float32)
+    nk = []
+    for i, w in enumerate(words):
+        c = kb.get_key_centers_for_word(w)
+        kp[i, : len(c)] = c
+        kp[i, len(c):] = c[-1]
+        nk.append(len(c))
+    out = np.asarray(batched_word_prototypes(jnp.asarray(kp), jnp.asarray(nk), 128))
+    for row, w in zip(out, words):
+        ref = kb.get_word_prototype(w, 128)
+        np.testing.assert_allclose(row, ref, atol=1e-4)
