@@ -1,9 +1,14 @@
 // Native swipelog parser — the host-side hot loop of dataset preprocessing.
 //
 // Parses "How We Swipe" .log text (reference format: dataset/README.md:14-44)
-// into flat gesture buffers, with semantics exactly matching the Python
-// parser in wordgesture_gan_tpu/data/parse.py (itself behavior-equivalent to
-// the reference /root/reference/src/shared/data.py:167-231):
+// into flat gesture buffers, matching the Python parser in
+// wordgesture_gan_tpu/data/parse.py (itself behavior-equivalent to the
+// reference /root/reference/src/shared/data.py:167-231) on the log format's
+// ASCII, plain-decimal rows — the three-way parity tests cover this scope.
+// Known conservative deltas on pathological input (C++ drops what Python
+// keeps, never the reverse): Python's int()/float() underscore separators
+// and Unicode digits, str.split() on non-ASCII whitespace, and .lower() on
+// non-ASCII words (kept byte-identical here). Semantics:
 //   - whitespace-token split, lines with <12 tokens skipped
 //   - malformed numeric fields (Python int()/float() failures) skip the line
 //   - is_err==1 rows skipped, single-letter words skipped
@@ -51,9 +56,17 @@ static int split_ws(const char* s, const char* end, Tok* toks, int max_toks) {
 }
 
 // Python float(token): strict full-token parse (allows leading/trailing
-// nothing beyond the number; inf/nan accepted like Python).
+// nothing beyond the number; inf/nan accepted like Python). strtod would
+// also accept hex floats ("0x10") which Python rejects — filter those.
+// Deliberate scope limits vs Python (conservative: C++ DROPS rows Python
+// would keep, never the reverse, and only on data malformed beyond the
+// log format): digit-separator underscores ("1_0"), Unicode digits, and
+// numeric tokens longer than 63 chars are rejected.
 static bool parse_double(const Tok& t, double* out) {
   if (t.n == 0 || t.n > 63) return false;
+  for (size_t i = 0; i < t.n; ++i) {
+    if (t.p[i] == 'x' || t.p[i] == 'X') return false;
+  }
   char buf[64];
   std::memcpy(buf, t.p, t.n);
   buf[t.n] = '\0';

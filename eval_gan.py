@@ -29,7 +29,7 @@ from wordgesture_gan_tpu.utils.logging import log, seed_everything
 
 def main() -> None:
     parser = argparse.ArgumentParser(description="Evaluate WordGesture-GAN (TPU)")
-    parser.add_argument("--model", choices=["gan", "min-jerk", "both"], default="gan")
+    parser.add_argument("--model", choices=["gan", "min-jerk", "both"], default="both")
     parser.add_argument("--n-samples", type=int, default=200)
     parser.add_argument("--truncation", type=float, default=1.0)
     parser.add_argument("--savgol-window", type=int, default=21)

@@ -122,3 +122,35 @@ def test_array_loader_parity(loaded):
     total = sum(len(b["word"]) for b in batches)
     assert total == len(test)
     np.testing.assert_array_equal(batches[0]["gesture"][0], test.gestures[0])
+
+
+def test_malformed_file_is_skipped_not_poisoning(tmp_path):
+    """A log file with keyb_width=0 produces non-finite coordinates; the
+    per-file guard must skip that file (reference data.py:379-399) instead of
+    poisoning the whole dataset with NaNs."""
+    import zipfile
+    from wordgesture_gan_tpu.keyboard import QWERTYKeyboard
+    from wordgesture_gan_tpu.data import load_dataset_from_zip
+    from wordgesture_gan_tpu.data.synthetic import generate_log_content, load_word_list
+
+    kb = QWERTYKeyboard()
+    # Enough good data that key-position inference (>=10 samples/letter)
+    # succeeds without the bad file.
+    good = generate_log_content(kb, load_word_list(None, 50), np.random.default_rng(0),
+                                n_sentences=60, words_per_sentence=5)
+    bad = "\n".join([
+        "header",
+        "s0 1000 0 360 touchstart 10.0 20.0 1 1 0 hello 0",   # keyb_width=0
+        "s0 1010 0 360 touchmove 11.0 21.0 1 1 0 hello 0",
+        "s0 1020 0 360 touchend 12.0 22.0 1 1 0 hello 0",
+    ])
+    zpath = tmp_path / "mixed.zip"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        zf.writestr("good.log", good)
+        zf.writestr("bad.log", bad)
+
+    gestures, _ = load_dataset_from_zip(str(zpath), kb, use_cache=False, verbose=False)
+    assert gestures, "good file should still load"
+    for word, gs in gestures.items():
+        for g in gs:
+            assert np.isfinite(g).all(), f"NaN leaked into {word}"

@@ -82,3 +82,18 @@ def test_native_parser_faster(synthetic_zip):
     parse_log_file_native(content)
     t_cc = time.perf_counter() - t0
     assert t_cc < t_py
+
+
+def test_hex_float_rejected_like_python():
+    content = "\n".join([
+        "header",
+        # hex-looking x coordinate: Python float() rejects -> line skipped
+        "s0 1000 1080 360 touchstart 0x10 20.0 1 1 0 hello 0",
+        "s0 1010 1080 360 touchstart 10.0 20.0 1 1 0 hello 0",
+        "s0 1020 1080 360 touchmove 11.0 21.0 1 1 0 hello 0",
+        "s0 1030 1080 360 touchend 12.0 22.0 1 1 0 hello 0",
+    ])
+    py = parse_log_file(content)
+    cc = parse_log_file_native(content)
+    _assert_same(py, cc)
+    assert len(py["hello"]) == 1 and len(py["hello"][0].points) == 3

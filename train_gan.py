@@ -90,8 +90,9 @@ def main() -> None:
 
     def epoch_callback(epoch, state, losses):
         if wb is not None:
-            wb.log({"epoch": epoch + 1, "learning_rate": losses.pop("lr", 0),
-                    **{f"loss/{k}": v for k, v in losses.items()}}, step=epoch + 1)
+            wb.log({"epoch": epoch + 1, "learning_rate": losses.get("lr", 0),
+                    **{f"loss/{k}": v for k, v in losses.items() if k != "lr"}},
+                   step=epoch + 1)
         # Periodic comparison figures (reference train_gan.py:170-186).
         if (epoch + 1) % 10 == 0 and len(test_ds) > 0:
             from wordgesture_gan_tpu.viz import create_comparison_figure

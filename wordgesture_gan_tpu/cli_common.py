@@ -32,28 +32,32 @@ def add_data_args(parser: argparse.ArgumentParser) -> None:
 
 
 def resolve_dataset_zip(args: argparse.Namespace) -> str:
-    """Return a usable zip path, synthesizing one if requested/needed."""
+    """Return a usable zip path. Synthetic data is only ever substituted when
+    the user explicitly asked for it (--synthetic); a missing real dataset
+    fails loudly rather than silently training on fabricated data."""
     path = Path(args.data)
-    if path.exists() and not args.synthetic:
-        return str(path)
-    if args.synthetic or not path.exists():
-        syn_path = path if args.synthetic and not path.exists() else path.parent / f"synthetic_swipelogs_{args.synthetic_users}.zip"
-        if path.exists() and not args.synthetic:
+    if not args.synthetic:
+        if path.exists():
             return str(path)
-        if not syn_path.exists():
-            log(f"Dataset zip not found — generating synthetic swipelogs ({args.synthetic_users} users) at {syn_path}")
-            wordfreq = Path("/root/reference/dataset/wordfreq.txt")
-            write_synthetic_swipelogs_zip(
-                str(syn_path), n_users=args.synthetic_users, seed=7,
-                wordfreq_path=str(wordfreq) if wordfreq.exists() else None,
-                # Match the real dataset's vocabulary scale (~11k words,
-                # Zipf-weighted) so the capped gesture count is realistic.
-                max_vocab=12000,
-            )
-        else:
-            log(f"Using cached synthetic swipelogs at {syn_path}")
-        return str(syn_path)
-    raise FileNotFoundError(f"dataset zip not found: {path}")
+        raise FileNotFoundError(
+            f"dataset zip not found: {path}. Pass --synthetic to generate a "
+            f"synthetic stand-in, or point --data at the real swipelogs.zip."
+        )
+
+    syn_path = path if not path.exists() else path.parent / f"synthetic_swipelogs_{args.synthetic_users}.zip"
+    if not syn_path.exists():
+        log(f"Generating synthetic swipelogs ({args.synthetic_users} users) at {syn_path}")
+        wordfreq = Path("/root/reference/dataset/wordfreq.txt")
+        write_synthetic_swipelogs_zip(
+            str(syn_path), n_users=args.synthetic_users, seed=7,
+            wordfreq_path=str(wordfreq) if wordfreq.exists() else None,
+            # Match the real dataset's vocabulary scale (~11k words,
+            # Zipf-weighted) so the capped gesture count is realistic.
+            max_vocab=12000,
+        )
+    else:
+        log(f"Using cached synthetic swipelogs at {syn_path}")
+    return str(syn_path)
 
 
 def load_split(

@@ -93,15 +93,25 @@ def load_dataset_from_zip(
             log_files = log_files[:max_files]
 
         for member in log_files:
+            # Per-file guard spans read+parse+normalize (reference
+            # data.py:379-399): a malformed file — e.g. a keyb_width=0 row
+            # whose normalized coordinates come out non-finite — is skipped
+            # whole rather than poisoning the dataset.
             try:
                 content = zf.read(member).decode("utf-8", errors="ignore")
+                file_gestures = {}
+                for word, raw_list in parse(content).items():
+                    normalized = [
+                        normalize_gesture(raw, model_config.seq_length) for raw in raw_list
+                    ]
+                    if any(not np.isfinite(g).all() for g in normalized):
+                        raise ValueError(f"non-finite coordinates in {member}")
+                    file_gestures[word] = normalized
             except Exception as e:  # corrupt member: skip, keep going
                 say(f"Error processing {member}: {e}")
                 continue
-            for word, raw_list in parse(content).items():
-                bucket = gestures_by_word.setdefault(word, [])
-                for raw in raw_list:
-                    bucket.append(normalize_gesture(raw, model_config.seq_length))
+            for word, normalized in file_gestures.items():
+                gestures_by_word.setdefault(word, []).extend(normalized)
             n_files += 1
             if n_files % 100 == 0:
                 say(f"Processed {n_files} files...")

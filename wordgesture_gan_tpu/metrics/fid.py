@@ -128,11 +128,15 @@ def fid_from_features(real_features: jnp.ndarray, fake_features: jnp.ndarray) ->
     return float(frechet_distance(mu_r, cov_r, mu_f, cov_f))
 
 
+# Module-level jit: reused across calls (a fresh jit(lambda) per call would
+# recompile every invocation).
+_encode_jit = jax.jit(autoencoder_encode)
+
+
 def encode_features(params: Dict, gestures: np.ndarray, batch: int = 4096) -> jnp.ndarray:
     # Params as jit args (device-put once) — closing over host arrays bakes
     # them into the program, which is pathological to compile remotely.
     params_dev = jax.device_put(params)
     data = jnp.asarray(gestures, jnp.float32)
-    enc = jax.jit(autoencoder_encode)
-    outs = [enc(params_dev, data[i : i + batch]) for i in range(0, len(data), batch)]
+    outs = [_encode_jit(params_dev, data[i : i + batch]) for i in range(0, len(data), batch)]
     return jnp.concatenate(outs, axis=0)

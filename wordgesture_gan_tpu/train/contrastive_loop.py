@@ -92,17 +92,21 @@ def contrastive_train_epoch(
     return new_state, losses
 
 
+# Module-level jit: reused across calls (a fresh jit(lambda) per call would
+# recompile every invocation).
+_embed_jit = jax.jit(
+    lambda pd, x: contrastive_encoder_apply(pd["params"], pd["bn"], x, train=False)[0]
+)
+
+
 def embed_gestures(state: Dict, gestures: np.ndarray, config: ContrastiveConfig,
                    batch: int = 4096) -> np.ndarray:
     """Eval-mode embeddings for an array of gestures. Params are jit args
     (never baked host-array constants — pathological to compile remotely)."""
     params_dev = jax.device_put({"params": state["params"], "bn": state["bn"]})
-    enc = jax.jit(
-        lambda pd, x: contrastive_encoder_apply(pd["params"], pd["bn"], x, train=False)[0]
-    )
     outs = []
     for i in range(0, len(gestures), batch):
-        outs.append(np.asarray(enc(params_dev, jnp.asarray(gestures[i : i + batch], jnp.float32))))
+        outs.append(np.asarray(_embed_jit(params_dev, jnp.asarray(gestures[i : i + batch], jnp.float32))))
     return np.concatenate(outs, axis=0) if outs else np.zeros((0, config.embedding_dim), np.float32)
 
 

@@ -158,6 +158,17 @@ def train_gan(
     return TrainResult(state=state, history=history, throughput=throughput)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _generator_jit(model_config: ModelConfig):
+    """One jitted generator forward per model config — a fresh jit(lambda)
+    per call would recompile every invocation (configs are frozen/hashable,
+    so they key the cache)."""
+    return jax.jit(lambda gp, p, z: generator_apply(gp, p, z, model_config))
+
+
 def generate_gestures(
     state: Dict,
     prototypes: np.ndarray,
@@ -175,9 +186,7 @@ def generate_gestures(
     padded to the fixed batch size to avoid a second compile.
     """
     g_params = jax.device_put(state["g"]["params"])
-    gen = jax.jit(
-        lambda gp, p, z: generator_apply(gp, p, z, model_config)
-    )
+    gen = _generator_jit(model_config)
     key = jax.random.PRNGKey(seed)
     n = len(prototypes)
     outs = []
