@@ -13,7 +13,6 @@ n_critic=5 step. vs_baseline = ours_per_chip / 5880.
 """
 
 import json
-import os
 import sys
 import time
 from pathlib import Path

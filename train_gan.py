@@ -16,8 +16,6 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent))
 
-import numpy as np
-
 from wordgesture_gan_tpu.cli_common import add_data_args, load_split, maybe_wandb
 from wordgesture_gan_tpu.configs import (
     ModelConfig,

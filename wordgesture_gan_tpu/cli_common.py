@@ -10,9 +10,9 @@ from __future__ import annotations
 import argparse
 import os
 from pathlib import Path
-from typing import Optional, Tuple
+from typing import Tuple
 
-from .configs import ModelConfig, PathsConfig, TrainingConfig
+from .configs import ModelConfig, TrainingConfig
 from .data.pipeline import GestureArrays, create_train_test_split, load_dataset_from_zip
 from .data.synthetic import write_synthetic_swipelogs_zip
 from .keyboard import QWERTYKeyboard

@@ -10,7 +10,7 @@ host-side index-matrix generator — an epoch of batches is a single
 from __future__ import annotations
 
 import random
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np

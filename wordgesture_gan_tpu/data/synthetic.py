@@ -13,7 +13,6 @@ eval run unchanged on the real zip when present.
 
 from __future__ import annotations
 
-import io
 import zipfile
 from pathlib import Path
 from typing import List, Optional, Sequence

@@ -12,7 +12,7 @@ row-center y values at ``-1 + (row + 0.5) * 2/3`` for 3 rows.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np

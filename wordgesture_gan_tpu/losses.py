@@ -3,7 +3,7 @@ and src/contrastive/model.py:124-189)."""
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ feature-matching loss) and the updated spectral-norm state.
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -19,7 +19,6 @@ from ..configs import DEFAULT_MODEL_CONFIG, ModelConfig
 from .layers import (
     bilstm_apply,
     bilstm_init,
-    conv1d,
     dense,
     dense_init,
     leaky_relu,

@@ -12,7 +12,6 @@ linear/conv/LSTM) so training dynamics match the reference distributionally.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict, List, Optional, Tuple
 
 import jax

@@ -16,8 +16,6 @@ tests/test_metrics.py against fastdtw), with exact ≤ approx by construction.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

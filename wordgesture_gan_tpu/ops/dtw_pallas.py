@@ -19,7 +19,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 # Plain Python float — a jnp scalar here would be a captured constant inside
 # the Pallas kernel trace, which pallas_call rejects.

@@ -17,9 +17,6 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .stats import pairwise_l2  # noqa: F401  (re-exported neighbor for consumers)
-
-
 def _arclength_resample_one(points: jnp.ndarray, n_valid: jnp.ndarray, out_len: int) -> jnp.ndarray:
     """Resample one padded polyline at uniform arc length.
 

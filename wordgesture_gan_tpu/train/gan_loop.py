@@ -9,9 +9,9 @@ it runs directly on the TPU host. The per-epoch body is one jitted
 
 from __future__ import annotations
 
+import functools
 import time
 from dataclasses import dataclass, field
-from pathlib import Path
 from typing import Callable, Dict, List, Optional
 
 import jax
@@ -156,9 +156,6 @@ def train_gan(
         f"({throughput.per_sec_per_chip:.0f}/chip over {n_shards} chip(s))"
     )
     return TrainResult(state=state, history=history, throughput=throughput)
-
-
-import functools
 
 
 @functools.lru_cache(maxsize=8)

@@ -23,7 +23,6 @@ functionally (torch mutates buffers on every training forward).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict, Tuple
 
 import jax

@@ -8,7 +8,7 @@ a jitted, sharded step maps to its successor.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
