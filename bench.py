@@ -1,8 +1,11 @@
 #!/usr/bin/env python
 """Benchmark: GAN training throughput (gestures/sec/chip) on the fused
-two-cycle WGAN step at reference scale.
+two-cycle WGAN step at reference scale, in the production mixed-precision
+(bf16 compute / fp32 params) configuration.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"} —
+``extra`` carries the other two BASELINE.md north-star counters (epoch
+wall-clock at the reference's 30k-gesture scale, and batched-DTW pairs/sec).
 
 Baseline derivation: the reference trains 200 epochs on the capped swipelogs
 dataset in 17 min on an L40S (/root/reference/CLAUDE.md:98). The capped
@@ -25,21 +28,17 @@ BATCH_SIZE = 512
 N_CRITIC = 5
 WARMUP_EPOCHS = 1
 TIMED_EPOCHS = 3
+DTW_PAIRS = 4096                    # DTW micro-bench size (2000×2000 eval tiles)
 
 
-def main() -> None:
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    from wordgesture_gan_tpu.configs import ModelConfig, RuntimeConfig, TrainingConfig
+def bench_train(jax, jnp, np):
+    from wordgesture_gan_tpu.configs import ModelConfig, TrainingConfig
     from wordgesture_gan_tpu.parallel.mesh import batch_sharding, create_mesh, packed_replicate, replicate
     from wordgesture_gan_tpu.train.gan_step import gan_train_epoch, make_epoch_batches
     from wordgesture_gan_tpu.train.state import init_gan_state
 
-    model_config = ModelConfig()
+    model_config = ModelConfig(compute_dtype="bfloat16")
     training_config = TrainingConfig(batch_size=BATCH_SIZE, n_critic=N_CRITIC)
-    runtime_config = RuntimeConfig()
 
     mesh = create_mesh()
     n_chips = int(mesh.devices.size)
@@ -86,14 +85,48 @@ def main() -> None:
         print(f"timed epoch {e}: {time.perf_counter() - t:.2f}s", file=sys.stderr)
     dt = time.perf_counter() - t0
 
+    epoch_seconds = dt / TIMED_EPOCHS
     per_sec = TIMED_EPOCHS * samples_per_epoch / dt
-    per_sec_per_chip = per_sec / n_chips
+    return per_sec / n_chips, epoch_seconds
+
+
+def bench_dtw(jax, jnp, np):
+    """Batched-DTW pairs/sec (the reference's joblib-parallel fastdtw hot
+    loop, src/gan/evaluation.py DTW-Wasserstein path)."""
+    from wordgesture_gan_tpu.ops.dtw import dtw_pairs
+    from wordgesture_gan_tpu.ops.dtw_pallas import dtw_pairs_pallas, pallas_dtw_available
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.uniform(-1, 1, (DTW_PAIRS, 128, 2)).astype(np.float32))
+    y = jnp.asarray(rng.uniform(-1, 1, (DTW_PAIRS, 128, 2)).astype(np.float32))
+
+    fn = dtw_pairs_pallas if pallas_dtw_available() else dtw_pairs
+    fn = jax.jit(fn)
+    float(np.sum(np.asarray(fn(x, y))))  # compile + warmup
+    t0 = time.perf_counter()
+    reps = 4
+    for _ in range(reps):
+        float(np.sum(np.asarray(fn(x, y))))
+    return reps * DTW_PAIRS / (time.perf_counter() - t0)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    per_sec_per_chip, epoch_seconds = bench_train(jax, jnp, np)
+    dtw_pairs_per_sec = bench_dtw(jax, jnp, np)
 
     print(json.dumps({
         "metric": "gan_train_gestures_per_sec_per_chip",
         "value": round(per_sec_per_chip, 1),
-        "unit": "gestures/s/chip (two-cycle WGAN step, n_critic=5, batch 512)",
+        "unit": "gestures/s/chip (two-cycle WGAN step, n_critic=5, batch 512, bf16)",
         "vs_baseline": round(per_sec_per_chip / BASELINE_GESTURES_PER_SEC, 3),
+        "extra": {
+            "epoch_wall_clock_s_at_30k": round(epoch_seconds, 3),
+            "dtw_pairs_per_sec": round(dtw_pairs_per_sec, 1),
+        },
     }))
 
 

@@ -140,3 +140,24 @@ def test_sharded_step_matches_single_device(state, batch):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
     for k in ref_metrics:
         np.testing.assert_allclose(float(ref_metrics[k]), float(metrics[k]), atol=1e-4)
+
+
+def test_bf16_step_matches_fp32_closely(state, batch):
+    """Mixed precision (ModelConfig.compute_dtype='bfloat16'): params stay
+    fp32, every metric is finite and tracks the fp32 step to bf16 tolerance."""
+    bf16_cfg = ModelConfig(**{**{f.name: getattr(MCFG, f.name)
+                                 for f in __import__("dataclasses").fields(MCFG)},
+                              "compute_dtype": "bfloat16"})
+    step32 = jax.jit(lambda s, b, lr: gan_train_step(s, b, lr, MCFG, TCFG))
+    step16 = jax.jit(lambda s, b, lr: gan_train_step(s, b, lr, bf16_cfg, TCFG))
+    s32, m32 = step32(state, batch, jnp.float32(2e-4))
+    s16, m16 = step16(state, batch, jnp.float32(2e-4))
+
+    # Parameter/optimizer dtypes unchanged — bf16 is a compute view only.
+    for leaf in jax.tree.leaves(s16):
+        assert leaf.dtype != jnp.bfloat16
+
+    for k in m32:
+        a, b = float(m32[k]), float(m16[k])
+        assert np.isfinite(b), k
+        assert abs(a - b) <= 0.05 * max(1.0, abs(a)), (k, a, b)

@@ -41,6 +41,9 @@ def main() -> None:
                         help="capture a jax.profiler trace into this dir")
     parser.add_argument("--data-axis-size", type=int, default=-1,
                         help="devices on the data mesh axis (-1 = all)")
+    parser.add_argument("--precision", choices=["float32", "bfloat16"],
+                        default="bfloat16",
+                        help="compute precision (params/optimizer stay fp32)")
     add_data_args(parser)
     args = parser.parse_args()
 
@@ -49,9 +52,11 @@ def main() -> None:
     log(f"Devices: {jax.devices()}")
     seed_everything(args.seed)
 
-    model_config = ModelConfig(generator_type=args.generator)
+    model_config = ModelConfig(generator_type=args.generator,
+                               compute_dtype=args.precision)
     training_config = TrainingConfig(num_epochs=args.epochs, batch_size=args.batch_size)
-    runtime_config = RuntimeConfig(data_axis_size=args.data_axis_size)
+    runtime_config = RuntimeConfig(data_axis_size=args.data_axis_size,
+                                   precision=args.precision)
 
     train_ds, test_ds, keyboard = load_split(args, model_config, training_config)
     log(f"Data: {len(train_ds)} train, {len(test_ds)} test")

@@ -57,6 +57,13 @@ class ModelConfig:
     # Variational encoder (MLP)
     enc_hidden_dims: Tuple[int, ...] = (192, 96, 48, 32)
 
+    # Mixed-precision compute dtype for all model applies ("float32" or
+    # "bfloat16"). Params/optimizer/losses stay float32; see
+    # models/layers.py:cast_floats. The TPU-native completion of the AMP
+    # scaffolding the reference built and disabled
+    # (/root/reference/src/shared/utils.py:60-129, train_gan.py:90-92).
+    compute_dtype: str = "float32"
+
 
 @dataclass(frozen=True)
 class TrainingConfig:
@@ -172,6 +179,11 @@ class RuntimeConfig:
 
     # Donate train state buffers to the step for in-place updates
     donate_state: bool = True
+
+    # Precision policy: "float32" or "bfloat16" (mixed — bf16 compute,
+    # fp32 params/optimizer/losses). CLIs copy this into
+    # ModelConfig.compute_dtype, which the apply functions consult.
+    precision: str = "float32"
 
 
 DEFAULT_MODEL_CONFIG = ModelConfig()

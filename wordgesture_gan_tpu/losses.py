@@ -32,7 +32,10 @@ def feature_matching_loss(real_features: List[jnp.ndarray], fake_features: List[
     total = 0.0
     for real, fake in zip(real_features, fake_features):
         per_sample_elems = real.size // real.shape[0]
-        l1 = jnp.abs(fake - jax.lax.stop_gradient(real)).mean()
+        # Features may arrive bf16 under mixed precision; the L1 reduction
+        # over ~1e5 elements must accumulate in fp32.
+        diff = fake.astype(jnp.float32) - jax.lax.stop_gradient(real).astype(jnp.float32)
+        l1 = jnp.abs(diff).mean()
         total = total + l1 / per_sample_elems
     return total / len(real_features)
 

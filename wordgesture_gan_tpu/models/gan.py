@@ -19,6 +19,7 @@ from ..configs import DEFAULT_MODEL_CONFIG, ModelConfig
 from .layers import (
     bilstm_apply,
     bilstm_init,
+    cast_floats,
     dense,
     dense_init,
     leaky_relu,
@@ -27,6 +28,12 @@ from .layers import (
     sn_dense,
     sn_dense_init,
 )
+
+
+def _compute_dtype(config) -> jnp.dtype:
+    """The mixed-precision compute dtype (ModelConfig.compute_dtype); params
+    and losses stay float32 — see layers.cast_floats for the contract."""
+    return jnp.dtype(getattr(config, "compute_dtype", "float32") if config is not None else "float32")
 
 # ---------------------------------------------------------------------------
 # Variational encoder (reference models.py:18-86)
@@ -43,14 +50,23 @@ def encoder_init(key, config: ModelConfig = DEFAULT_MODEL_CONFIG) -> Dict:
     }
 
 
-def encoder_apply(params, x: jnp.ndarray, rng) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+def encoder_apply(params, x: jnp.ndarray, rng,
+                  config: ModelConfig = None) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Gesture (B, L, 3) → (z, mu, log_var) via the reparameterization trick.
 
     ``rng`` drives the epsilon draw (torch uses randn_like,
-    reference models.py:78-86)."""
+    reference models.py:78-86). Under mixed precision the hidden MLP runs in
+    bf16; the (mu, log_var) heads and the reparameterization stay float32 so
+    the KL term and z are full precision."""
+    dtype = _compute_dtype(config)
     h = x.reshape(x.shape[0], -1)
-    for layer in params["mlp"]:
+    mlp = params["mlp"]
+    if dtype != jnp.float32:
+        h = h.astype(dtype)
+        mlp = cast_floats(mlp, dtype)
+    for layer in mlp:
         h = leaky_relu(dense(layer, h))
+    h = h.astype(jnp.float32)
     mu = dense(params["mu"], h)
     log_var = dense(params["log_var"], h)
     eps = jax.random.normal(rng, mu.shape, mu.dtype)
@@ -108,7 +124,16 @@ def generator_apply(
     proto = prototype if config.prototype_has_time else prototype[:, :, :2]
     z_seq = jnp.broadcast_to(z[:, None, :], (z.shape[0], L, z.shape[1]))
     h = jnp.concatenate([proto, z_seq], axis=-1)
-    h = bilstm_apply(params["lstm"], h, config.gen_hidden_dim)
+    dtype = _compute_dtype(config)
+    lstm = params["lstm"]
+    if dtype != jnp.float32:
+        # bf16 recurrence: halves the HBM traffic of the scan's carried state
+        # and gate activations; the fp32 output head + tanh restore a
+        # full-precision gesture for the losses/critics.
+        h = h.astype(dtype)
+        lstm = cast_floats(lstm, dtype)
+    h = bilstm_apply(lstm, h, config.gen_hidden_dim)
+    h = h.astype(jnp.float32)
     return jnp.tanh(dense(params["out"], h))
 
 
@@ -130,20 +155,22 @@ def mlp_disc_init(key, config: ModelConfig = DEFAULT_MODEL_CONFIG) -> Tuple[Dict
     return {"layers": layers, "out": out_p}, {"layers": us, "out": out_u}
 
 
-def mlp_disc_apply(params, state, x: jnp.ndarray, update_stats: bool):
+def mlp_disc_apply(params, state, x: jnp.ndarray, update_stats: bool, dtype=jnp.float32):
     """(B, L, 3) → (scores (B, 1), features list, new spectral state).
 
     Features are the post-LeakyReLU activations of every hidden layer
-    (reference models.py:225-243); the output head is unbounded (WGAN)."""
-    h = x.reshape(x.shape[0], -1)
+    (reference models.py:225-243); the output head is unbounded (WGAN).
+    Under mixed precision the matmuls run in ``dtype``; scores are returned
+    float32 (the WGAN loss is a difference of means — keep it exact)."""
+    h = x.reshape(x.shape[0], -1).astype(dtype)
     features, new_us = [], []
     for p, u in zip(params["layers"], state["layers"]):
-        h, u_new = sn_dense(p, u, h, update_stats)
+        h, u_new = sn_dense(p, u, h, update_stats, dtype=dtype)
         h = leaky_relu(h)
         features.append(h)
         new_us.append(u_new)
-    out, out_u = sn_dense(params["out"], state["out"], h, update_stats)
-    return out, features, {"layers": new_us, "out": out_u}
+    out, out_u = sn_dense(params["out"], state["out"], h, update_stats, dtype=dtype)
+    return out.astype(jnp.float32), features, {"layers": new_us, "out": out_u}
 
 
 # ---------------------------------------------------------------------------
@@ -177,16 +204,17 @@ def _adaptive_avg_pool(h: jnp.ndarray, bins: int) -> jnp.ndarray:
     return h.reshape(B, bins, L // bins, C).mean(axis=2)
 
 
-def temporal_disc_apply(params, state, x: jnp.ndarray, update_stats: bool):
+def temporal_disc_apply(params, state, x: jnp.ndarray, update_stats: bool, dtype=jnp.float32):
     """(B, L, 3) → (scores, features, new spectral state). Works in NWC layout
     (the reference permutes to NCW for torch Conv1d; XLA prefers
     channel-last on TPU). Feature taps: the 3 conv activations flattened +
-    2 MLP activations (reference models.py:319-353)."""
+    2 MLP activations (reference models.py:319-353). ``dtype`` is the
+    mixed-precision compute dtype; scores come back float32."""
     B = x.shape[0]
-    h = x
+    h = x.astype(dtype)
     features, new_conv_us = [], []
     for p, u, (_cin, _cout, _k, pad) in zip(params["convs"], state["convs"], _TCONV_SPEC):
-        h, u_new = sn_conv1d(p, u, h, stride=1, padding=pad, update=update_stats)
+        h, u_new = sn_conv1d(p, u, h, stride=1, padding=pad, update=update_stats, dtype=dtype)
         h = leaky_relu(h)
         features.append(h.reshape(B, -1))
         new_conv_us.append(u_new)
@@ -198,12 +226,12 @@ def temporal_disc_apply(params, state, x: jnp.ndarray, update_stats: bool):
     new_mlp_us = []
     h2 = flat
     for p, u in zip(params["mlp"], state["mlp"]):
-        h2, u_new = sn_dense(p, u, h2, update_stats)
+        h2, u_new = sn_dense(p, u, h2, update_stats, dtype=dtype)
         h2 = leaky_relu(h2)
         features.append(h2)
         new_mlp_us.append(u_new)
-    out, out_u = sn_dense(params["out"], state["out"], h2, update_stats)
-    return out, features, {"convs": new_conv_us, "mlp": new_mlp_us, "out": out_u}
+    out, out_u = sn_dense(params["out"], state["out"], h2, update_stats, dtype=dtype)
+    return out.astype(jnp.float32), features, {"convs": new_conv_us, "mlp": new_mlp_us, "out": out_u}
 
 
 def disc_init(key, config: ModelConfig = DEFAULT_MODEL_CONFIG):
@@ -214,9 +242,10 @@ def disc_init(key, config: ModelConfig = DEFAULT_MODEL_CONFIG):
 
 
 def disc_apply(params, state, x, update_stats: bool, config: ModelConfig = DEFAULT_MODEL_CONFIG):
+    dtype = _compute_dtype(config)
     if config.use_temporal_disc:
-        return temporal_disc_apply(params, state, x, update_stats)
-    return mlp_disc_apply(params, state, x, update_stats)
+        return temporal_disc_apply(params, state, x, update_stats, dtype=dtype)
+    return mlp_disc_apply(params, state, x, update_stats, dtype=dtype)
 
 
 # ---------------------------------------------------------------------------

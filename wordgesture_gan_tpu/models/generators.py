@@ -23,11 +23,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..configs import DEFAULT_MODEL_CONFIG, ModelConfig
-from .layers import dense, dense_init, leaky_relu
+from .layers import cast_floats, dense, dense_init, leaky_relu
 
 
 def _proto_dim(config: ModelConfig) -> int:
     return config.input_dim if config.prototype_has_time else 2
+
+
+def _dtype(config: ModelConfig):
+    return jnp.dtype(getattr(config, "compute_dtype", "float32"))
 
 
 # ---------------------------------------------------------------------------
@@ -50,9 +54,14 @@ def mlp_generator_apply(params, prototype: jnp.ndarray, z: jnp.ndarray,
     B, L = prototype.shape[:2]
     proto = prototype if config.prototype_has_time else prototype[:, :, :2]
     h = jnp.concatenate([proto.reshape(B, -1), z], axis=-1)
-    for layer in params["mlp"]:
+    dtype = _dtype(config)
+    mlp = params["mlp"]
+    if dtype != jnp.float32:
+        h = h.astype(dtype)
+        mlp = cast_floats(mlp, dtype)
+    for layer in mlp:
         h = leaky_relu(dense(layer, h))
-    out = dense(params["out"], h)
+    out = dense(params["out"], h.astype(jnp.float32))
     return jnp.tanh(out.reshape(B, L, config.input_dim))
 
 
@@ -66,9 +75,13 @@ def _layernorm_init(dim: int) -> Dict:
 
 
 def _layernorm(params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
-    mean = x.mean(axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps) * params["scale"] + params["bias"]
+    # Moments in fp32 even under mixed precision (rsqrt of a small variance is
+    # the classic bf16 failure); result back in the compute dtype.
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    out = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return out.astype(x.dtype) * params["scale"].astype(x.dtype) + params["bias"].astype(x.dtype)
 
 
 def _block_init(key, d_model: int, mlp_dim: int) -> Dict:
@@ -104,11 +117,14 @@ def _attention(block, x: jnp.ndarray, num_heads: int,
     head = D // num_heads
     qkv = dense(block["qkv"], x).reshape(B, L, 3, num_heads, head)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]          # (B, L, H, h)
-    logits = jnp.einsum("blhd,bmhd->bhlm", q, k) / np.sqrt(head)
+    # Logits/softmax in fp32 (bf16 exp/normalize is the standard instability);
+    # the matmuls stay in the compute dtype.
+    logits = jnp.einsum("blhd,bmhd->bhlm", q, k,
+                        preferred_element_type=jnp.float32) / np.sqrt(head)
     if pad_mask is not None:
         # pad_mask: (B, L) with 1 for valid tokens
         logits = jnp.where(pad_mask[:, None, None, :] > 0, logits, -1e30)
-    attn = jax.nn.softmax(logits, axis=-1)
+    attn = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
     out = jnp.einsum("bhlm,bmhd->blhd", attn, v).reshape(B, L, D)
     return dense(block["attn_out"], out)
 
@@ -124,14 +140,16 @@ def transformer_generator_apply(
     B, L = prototype.shape[:2]
     proto = prototype if config.prototype_has_time else prototype[:, :, :2]
     z_seq = jnp.broadcast_to(z[:, None, :], (B, L, z.shape[-1]))
-    h = dense(params["embed"], jnp.concatenate([proto, z_seq], axis=-1))
-    h = h + params["pos"][None, :L, :]
+    dtype = _dtype(config)
+    p = params if dtype == jnp.float32 else cast_floats(params, dtype)
+    h = dense(p["embed"], jnp.concatenate([proto, z_seq], axis=-1).astype(dtype))
+    h = h + p["pos"][None, :L, :]
 
-    for block in params["blocks"]:
+    for block in p["blocks"]:
         h = h + _attention(block, _layernorm(block["ln1"], h), config.tfm_num_heads, pad_mask)
         m = dense(block["mlp1"], _layernorm(block["ln2"], h))
         m = dense(block["mlp2"], jax.nn.gelu(m))
         h = h + m
 
-    h = _layernorm(params["ln_f"], h)
+    h = _layernorm(params["ln_f"], h.astype(jnp.float32))
     return jnp.tanh(dense(params["out"], h))

@@ -23,6 +23,23 @@ def leaky_relu(x: jnp.ndarray, slope: float = 0.2) -> jnp.ndarray:
     return jax.nn.leaky_relu(x, slope)
 
 
+def cast_floats(tree, dtype):
+    """Cast every floating leaf of a pytree to ``dtype``.
+
+    Mixed-precision contract (the TPU-native version of the AMP scaffolding
+    the reference built and disabled, /root/reference/src/shared/utils.py:60-129):
+    parameters and optimizer state stay float32 in the train-state pytree;
+    apply functions build a bfloat16 *compute view* of the weights with this
+    helper at trace time. The cast's transpose restores float32 gradients, so
+    Adam statistics remain full precision. XLA fuses the casts into the
+    surrounding matmuls — no extra HBM round-trip."""
+    dtype = jnp.dtype(dtype)
+    return jax.tree.map(
+        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        tree,
+    )
+
+
 def _uniform(key, shape, bound):
     return jax.random.uniform(key, shape, jnp.float32, -bound, bound)
 
@@ -92,9 +109,16 @@ def sn_dense_init(key, in_dim: int, out_dim: int):
     return dense_init(kp, in_dim, out_dim), spectral_init(ku, (in_dim, out_dim))
 
 
-def sn_dense(params, u, x, update: bool):
+def sn_dense(params, u, x, update: bool, dtype=None):
+    """Spectral normalization runs in float32 (the power iteration's rsqrt is
+    precision-sensitive and O(fan_in·fan_out) — negligible); the matmul itself
+    runs in ``dtype`` when given (bf16 on the MXU)."""
     w_sn, u_new = spectral_normalize(params["w"], u, update)
-    return x @ w_sn + params["b"], u_new
+    b = params["b"]
+    if dtype is not None and w_sn.dtype != jnp.dtype(dtype):
+        w_sn = w_sn.astype(dtype)
+        b = b.astype(dtype)
+    return x @ w_sn + b, u_new
 
 
 # ---------------------------------------------------------------------------
@@ -132,17 +156,22 @@ def sn_conv1d_init(key, in_ch: int, out_ch: int, kernel: int):
     return params, spectral_init(ku, (kernel * in_ch, out_ch))
 
 
-def sn_conv1d(params, u, x, stride: int, padding: int, update: bool):
+def sn_conv1d(params, u, x, stride: int, padding: int, update: bool, dtype=None):
     w = params["w"]
     w2d = w.reshape(-1, w.shape[-1])
-    w_sn2d, u_new = spectral_normalize(w2d, u, update)
+    w_sn2d, u_new = spectral_normalize(w2d, u, update)   # power iteration in fp32
+    w_sn = w_sn2d.reshape(w.shape)
+    b = params["b"]
+    if dtype is not None and w_sn.dtype != jnp.dtype(dtype):
+        w_sn = w_sn.astype(dtype)
+        b = b.astype(dtype)
     out = jax.lax.conv_general_dilated(
-        x, w_sn2d.reshape(w.shape),
+        x, w_sn,
         window_strides=(stride,),
         padding=[(padding, padding)],
         dimension_numbers=("NWC", "WIO", "NWC"),
     )
-    return out + params["b"], u_new
+    return out + b, u_new
 
 
 # ---------------------------------------------------------------------------

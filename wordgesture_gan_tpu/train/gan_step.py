@@ -87,7 +87,7 @@ def gan_train_step(
         d1, d1_loss = _critic_update(d1, real, fake1, tx, lr, model_config)
 
         # D2 trains against G(proto, E(real).z)
-        z_enc, _, _ = encoder_apply(e_params, real, ke)
+        z_enc, _, _ = encoder_apply(e_params, real, ke, model_config)
         fake2 = generator_apply(g_params, proto, z_enc, model_config)
         d2, d2_loss = _critic_update(d2, real, fake2, tx, lr, model_config)
 
@@ -110,7 +110,7 @@ def gan_train_step(
         fake1_scores, fake1_feats, d1_sn = disc_apply(d1["params"], d1_sn, fake1, True, model_config)
         _, real1_feats, d1_sn = disc_apply(d1["params"], d1_sn, real, True, model_config)
         # Latent recovery under no_grad: fully detached (trainer.py:116-119).
-        z_rec, _, _ = encoder_apply(ep, jax.lax.stop_gradient(fake1), ke1)
+        z_rec, _, _ = encoder_apply(ep, jax.lax.stop_gradient(fake1), ke1, model_config)
         z_rec = jax.lax.stop_gradient(z_rec)
 
         c1_wgan = wgan_generator_loss(fake1_scores)
@@ -123,7 +123,7 @@ def gan_train_step(
         )
 
         # Cycle 2: X → z → X'
-        z_enc, mu, log_var = encoder_apply(ep, real, ke2)
+        z_enc, mu, log_var = encoder_apply(ep, real, ke2, model_config)
         fake2 = generator_apply(gp, proto, z_enc, model_config)
         fake2_scores, fake2_feats, d2_sn = disc_apply(d2["params"], d2_sn, fake2, True, model_config)
         _, real2_feats, d2_sn = disc_apply(d2["params"], d2_sn, real, True, model_config)

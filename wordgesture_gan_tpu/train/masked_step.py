@@ -86,7 +86,7 @@ def gan_train_step_masked(
         rng, kz, ke = jax.random.split(rng, 3)
         z_rand = jax.random.normal(kz, (B, Z))
         d1, d1_loss = critic_update(d1, gen(g_params, z_rand))
-        z_enc, _, _ = encoder_apply(e_params, real_m, ke)
+        z_enc, _, _ = encoder_apply(e_params, real_m, ke, model_config)
         d2, d2_loss = critic_update(d2, gen(g_params, z_enc))
         return (d1, d2, rng, d1_loss, d2_loss)
 
@@ -104,7 +104,7 @@ def gan_train_step_masked(
         fake1 = gen(gp, z)
         fake1_scores, fake1_feats, d1_sn = disc_apply(d1["params"], d1_sn, fake1, True, model_config)
         _, real1_feats, d1_sn = disc_apply(d1["params"], d1_sn, real_m, True, model_config)
-        z_rec, _, _ = encoder_apply(ep, jax.lax.stop_gradient(fake1), ke1)
+        z_rec, _, _ = encoder_apply(ep, jax.lax.stop_gradient(fake1), ke1, model_config)
         z_rec = jax.lax.stop_gradient(z_rec)
 
         c1_total = (
@@ -113,7 +113,7 @@ def gan_train_step_masked(
             + training_config.lambda_lat * latent_encoding_loss(z, z_rec)
         )
 
-        z_enc, mu, log_var = encoder_apply(ep, real_m, ke2)
+        z_enc, mu, log_var = encoder_apply(ep, real_m, ke2, model_config)
         fake2 = gen(gp, z_enc)
         fake2_scores, fake2_feats, d2_sn = disc_apply(d2["params"], d2_sn, fake2, True, model_config)
         _, real2_feats, d2_sn = disc_apply(d2["params"], d2_sn, real_m, True, model_config)
