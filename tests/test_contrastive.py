@@ -153,3 +153,45 @@ def test_evaluate_recall_and_map():
     labels2 = np.array([0, 1, 0, 1])
     res2 = evaluate_recall(emb2, labels2, k_values=(1,))
     assert res2["recall@1"] < 1.0
+
+
+@pytest.mark.multichip
+def test_sharded_contrastive_epoch_matches_single_device():
+    """The data-parallel contrastive epoch (batch-index axis sharded over an
+    8-device mesh, store/state replicated) must reproduce the single-device
+    epoch: SupCon's similarity matrix and BatchNorm's batch moments are
+    global reductions XLA implements with collectives under jit."""
+    from wordgesture_gan_tpu.parallel import batch_sharding, create_mesh, replicate
+    from wordgesture_gan_tpu.train.contrastive_loop import (
+        contrastive_train_epoch,
+        init_contrastive_state,
+    )
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = create_mesh(8)
+
+    cfg = ContrastiveConfig(batch_words=8, gestures_per_word=2)
+    state = init_contrastive_state(0, cfg)
+    rng = np.random.default_rng(3)
+    n = 64
+    gestures = jnp.asarray(rng.normal(size=(n, cfg.seq_length, 3)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 8, n), jnp.int32)
+    batch_idx = jnp.asarray(rng.integers(0, n, (3, 16)), jnp.int32)
+
+    epoch = jax.jit(lambda s, bi, g, l: contrastive_train_epoch(
+        s, g, l, bi, (1e-3, 1e-5, 30), cfg))
+    ref_state, ref_losses = epoch(state, batch_idx, gestures, labels)
+
+    sh_state, sh_losses = epoch(
+        replicate(mesh, state),
+        jax.device_put(batch_idx, batch_sharding(mesh, batch_axis=1)),
+        replicate(mesh, gestures),
+        replicate(mesh, labels),
+    )
+
+    np.testing.assert_allclose(np.asarray(ref_losses), np.asarray(sh_losses), atol=1e-5)
+    # Cross-device reductions reorder float sums; Adam's rsqrt amplifies the
+    # last-ulp differences (same tolerance as the GAN sharded-step test).
+    for a, b in zip(jax.tree.leaves(ref_state), jax.tree.leaves(sh_state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)

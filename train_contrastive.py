@@ -13,7 +13,12 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).parent))
 
 from wordgesture_gan_tpu.cli_common import add_data_args, resolve_dataset_zip
-from wordgesture_gan_tpu.configs import ContrastiveConfig, ModelConfig, TrainingConfig
+from wordgesture_gan_tpu.configs import (
+    ContrastiveConfig,
+    ModelConfig,
+    RuntimeConfig,
+    TrainingConfig,
+)
 from wordgesture_gan_tpu.utils.logging import log, seed_everything
 
 
@@ -26,6 +31,8 @@ def main() -> None:
     parser.add_argument("--min-jerk-noise", type=float, default=0.02)
     parser.add_argument("--min-jerk-augmentations", type=int, default=2)
     parser.add_argument("--checkpoint-dir", type=str, default="checkpoints")
+    parser.add_argument("--data-axis-size", type=int, default=-1,
+                        help="devices on the data mesh axis (-1 = all)")
     add_data_args(parser)
     args = parser.parse_args()
 
@@ -60,6 +67,7 @@ def main() -> None:
         train_data,
         test_data,
         config=config,
+        runtime_config=RuntimeConfig(data_axis_size=args.data_axis_size),
         num_epochs=args.epochs,
         seed=args.seed,
         checkpoint_dir=args.checkpoint_dir,

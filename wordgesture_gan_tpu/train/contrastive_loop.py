@@ -18,10 +18,16 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..configs import DEFAULT_CONTRASTIVE_CONFIG, ContrastiveConfig
+from ..configs import (
+    DEFAULT_CONTRASTIVE_CONFIG,
+    DEFAULT_RUNTIME_CONFIG,
+    ContrastiveConfig,
+    RuntimeConfig,
+)
 from ..data.contrastive import ContrastiveArrays, sample_epoch_batches
 from ..losses import supervised_contrastive_loss
 from ..models.contrastive import contrastive_encoder_apply, contrastive_encoder_init
+from ..parallel.mesh import batch_sharding, create_mesh, packed_replicate, replicate
 from ..utils.logging import log
 from .checkpoint import restore_checkpoint, save_checkpoint
 from .state import apply_update
@@ -145,6 +151,7 @@ def train_contrastive(
     train_data: ContrastiveArrays,
     test_data: ContrastiveArrays,
     config: ContrastiveConfig = DEFAULT_CONTRASTIVE_CONFIG,
+    runtime_config: RuntimeConfig = DEFAULT_RUNTIME_CONFIG,
     num_epochs: Optional[int] = None,
     seed: int = 42,
     checkpoint_dir: Optional[str] = None,
@@ -154,11 +161,24 @@ def train_contrastive(
     verbose: bool = True,
 ) -> Tuple[Dict, Dict[str, list]]:
     """Full contrastive training run with best-recall checkpointing
-    (reference trainer.py:177-251)."""
+    (reference trainer.py:177-251).
+
+    Data-parallel layout mirrors the GAN loop (gan_loop.py:73-117): the
+    gesture store and state are replicated over a 1-D ``data`` mesh and each
+    epoch's (n_batches, B) index matrix is sharded over the batch axis. The
+    SupCon similarity matrix (emb @ emb.T) and the BatchNorm batch moments
+    are *global* reductions over the batch — under jit-with-sharding XLA
+    inserts the all-gather / all-reduce over ICI automatically, so sharded
+    training is semantically identical to single-device (tested in
+    tests/test_contrastive.py::test_sharded_contrastive_epoch_matches)."""
     import random as _random
 
     say = log if verbose else (lambda *_: None)
     num_epochs = num_epochs or config.num_epochs
+
+    mesh = create_mesh(runtime_config.data_axis_size, runtime_config.mesh_axis_names)
+    n_shards = mesh.devices.size
+    say(f"Mesh: {n_shards} device(s) on axis {runtime_config.mesh_axis_names}")
 
     state = init_contrastive_state(seed, config)
     start_epoch = 0
@@ -168,9 +188,11 @@ def train_contrastive(
             state = restored
             start_epoch = int(np.asarray(state["epoch"]))
             say(f"Resumed contrastive training from epoch {start_epoch}")
+    state = packed_replicate(mesh, state)
 
-    g_dev = jnp.asarray(train_data.gestures, jnp.float32)
-    l_dev = jnp.asarray(train_data.labels, jnp.int32)
+    g_dev = replicate(mesh, jnp.asarray(train_data.gestures, jnp.float32))
+    l_dev = replicate(mesh, jnp.asarray(train_data.labels, jnp.int32))
+    idx_shard = batch_sharding(mesh, batch_axis=1)     # (n_batches, B)
 
     n_batches = len([w for w in train_data.unique_words
                      if len(train_data.word_to_indices[w]) >= config.gestures_per_word]
@@ -193,7 +215,7 @@ def train_contrastive(
             train_data, config.batch_words, config.gestures_per_word, sampler_rng
         )
         t0 = time.perf_counter()
-        state, losses = epoch_fn(state, jnp.asarray(batch_idx))
+        state, losses = epoch_fn(state, jax.device_put(jnp.asarray(batch_idx), idx_shard))
         jax.block_until_ready(losses)
         dt = time.perf_counter() - t0
         avg_loss = float(np.mean(np.asarray(losses)))
