@@ -30,7 +30,7 @@ from wordgesture_gan_tpu.utils.logging import log, seed_everything
 def main() -> None:
     parser = argparse.ArgumentParser(description="Evaluate WordGesture-GAN (TPU)")
     parser.add_argument("--model", choices=["gan", "min-jerk", "both"], default="both")
-    parser.add_argument("--n-samples", type=int, default=200)
+    parser.add_argument("--n-samples", type=int, default=2000)
     parser.add_argument("--truncation", type=float, default=1.0)
     parser.add_argument("--savgol-window", type=int, default=21)
     parser.add_argument("--precision-k", type=int, default=3)
@@ -144,7 +144,15 @@ def main() -> None:
         log(f"Figures saved to {out}")
 
     if args.wandb:
-        wb = maybe_wandb(True, project=PathsConfig().wandb_project, name="eval_standalone")
+        # Attach eval results to the training run via the run-id sidecar
+        # (reference eval_gan.py:145-147 resumes the training run the same
+        # way); falls back to a standalone run when no sidecar exists.
+        from wordgesture_gan_tpu.train.checkpoint import load_run_metadata
+
+        train_run_id = load_run_metadata(args.checkpoint_dir).get("wandb_run_id")
+        wb = maybe_wandb(True, project=PathsConfig().wandb_project,
+                         name=None if train_run_id else "eval_standalone",
+                         id=train_run_id, resume="allow" if train_run_id else None)
         if wb is not None and gan_results:
             for key, val in gan_results.items():
                 if isinstance(val, float):

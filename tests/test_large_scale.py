@@ -60,3 +60,20 @@ def test_evaluate_large_scale_smoke():
     for key in ("sliced_w2", "energy_distance", "precision", "recall"):
         assert np.isfinite(res[key]), key
     assert res["n_samples"] == 300
+
+
+def test_sinkhorn_matched_cost_vs_hungarian():
+    """The on-device Sinkhorn estimator must approach the exact Hungarian
+    matched mean distance (the reference's Wasserstein scalar) from above."""
+    from wordgesture_gan_tpu.metrics.large_scale import sinkhorn_matched_cost_subsampled
+    from wordgesture_gan_tpu.ops.assignment import matched_mean_distance
+    from wordgesture_gan_tpu.ops.stats import pairwise_l2
+
+    rng = np.random.default_rng(5)
+    a = jnp.asarray(rng.normal(0, 1, (256, 32)), jnp.float32)
+    b = jnp.asarray(rng.normal(0.5, 1, (256, 32)), jnp.float32)
+
+    exact = matched_mean_distance(np.asarray(pairwise_l2(a, b)))
+    approx = sinkhorn_matched_cost_subsampled(a, b, n_sub=256, epsilon=0.01)
+    assert approx >= exact - 1e-3           # entropic cost upper-bounds
+    assert approx == pytest.approx(exact, rel=0.05)

@@ -119,13 +119,20 @@ def load_or_train_fid_autoencoder(
 
 def fid_from_features(real_features: jnp.ndarray, fake_features: jnp.ndarray) -> float:
     """Fréchet distance between Gaussian feature fits, with the reference's
-    1e-6 diagonal jitter (evaluation.py:461-468)."""
+    1e-6 diagonal jitter (evaluation.py:461-468).
+
+    Covariances are explicitly symmetrized and the result clamped at 0: FID
+    is nonnegative by definition, but for near-identical distributions the
+    eigh-based trace can overshoot tr(Σr)+tr(Σf) by float error (the
+    reference's scipy path has the same exposure via the real-part take)."""
     dim = real_features.shape[1]
     mu_r = real_features.mean(axis=0)
     mu_f = fake_features.mean(axis=0)
     cov_r = jnp.cov(real_features, rowvar=False) + jnp.eye(dim) * 1e-6
     cov_f = jnp.cov(fake_features, rowvar=False) + jnp.eye(dim) * 1e-6
-    return float(frechet_distance(mu_r, cov_r, mu_f, cov_f))
+    cov_r = 0.5 * (cov_r + cov_r.T)
+    cov_f = 0.5 * (cov_f + cov_f.T)
+    return float(jnp.maximum(frechet_distance(mu_r, cov_r, mu_f, cov_f), 0.0))
 
 
 # Module-level jit: reused across calls (a fresh jit(lambda) per call would

@@ -11,6 +11,9 @@ device-friendly estimators replace it:
   blocks, keeping only per-sample "covered" booleans;
 * energy distance: an unbiased two-sample statistic from subsampled pair
   batches;
+* Sinkhorn matched cost: the Hungarian "Wasserstein" scalar's on-device
+  estimator (entropy-regularized OT on a subsample — the full n x n cost
+  matrix caps the subsample size, not the assignment solve);
 * FID works unchanged (feature moments are O(n · d)).
 """
 
@@ -22,6 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.assignment import sinkhorn_matching_cost
 from ..ops.stats import pairwise_l2
 
 
@@ -112,6 +116,26 @@ def chunked_knn_precision_recall(
     return precision, recall
 
 
+def sinkhorn_matched_cost_subsampled(
+    real_flat: jnp.ndarray,
+    fake_flat: jnp.ndarray,
+    n_sub: int = 4096,
+    epsilon: float = 0.01,
+    key: Optional[jax.Array] = None,
+) -> float:
+    """On-device estimator of the reference's Hungarian matched mean distance
+    (src/gan/evaluation.py:338): entropy-regularized OT between uniform
+    marginals on an ``n_sub`` subsample of each set. Validated against the
+    exact Hungarian solve at small n in tests/test_large_scale.py."""
+    key = key if key is not None else jax.random.PRNGKey(2)
+    k1, k2 = jax.random.split(key)
+    n = min(n_sub, real_flat.shape[0], fake_flat.shape[0])
+    ri = jax.random.choice(k1, real_flat.shape[0], (n,), replace=False)
+    fi = jax.random.choice(k2, fake_flat.shape[0], (n,), replace=False)
+    cost = pairwise_l2(jnp.take(real_flat, ri, axis=0), jnp.take(fake_flat, fi, axis=0))
+    return float(sinkhorn_matching_cost(cost, epsilon=epsilon))
+
+
 def evaluate_large_scale(
     real_gestures: np.ndarray,
     fake_gestures: np.ndarray,
@@ -128,10 +152,11 @@ def evaluate_large_scale(
     fake_xy = jnp.asarray(fake_gestures[:n, :, :2].reshape(n, -1), jnp.float32)
 
     key = jax.random.PRNGKey(seed)
-    k1, k2 = jax.random.split(key)
+    k1, k2, k3 = jax.random.split(key, 3)
     results = {
         "sliced_w2": float(sliced_wasserstein2(real_xy, fake_xy, n_projections, k1)),
         "energy_distance": float(energy_distance(real_xy, fake_xy, key=k2)),
+        "sinkhorn_matched_cost": sinkhorn_matched_cost_subsampled(real_xy, fake_xy, key=k3),
         "n_samples": float(n),
     }
 
