@@ -47,6 +47,9 @@ def main() -> None:
     add_data_args(parser)
     args = parser.parse_args()
 
+    from wordgesture_gan_tpu.parallel import maybe_init_distributed
+
+    maybe_init_distributed()   # no-op single-host; joins the pod runtime when configured
     import jax
 
     log(f"Devices: {jax.devices()}")
