@@ -258,7 +258,10 @@ def _lstm_scan(cell, x_proj: jnp.ndarray, hidden: int) -> jnp.ndarray:
 
     # unroll left at 1: unroll=4 is ~18% faster for forward-only passes but
     # pessimizes the backward enough to slow the full two-cycle train step
-    # (2.82s vs 2.64s per epoch on v5e) — measured, not assumed.
+    # (fp32: 2.82s vs 2.64s per epoch on v5e; bf16: unroll=2 gives 2.36s vs
+    # 1.78s) — measured, not assumed. Batching the critic loop's two G
+    # forwards into one 2B apply also loses (1.90s vs 1.78s bf16): the
+    # per-step matmuls scale sub-linearly but not enough to beat scan count.
     _, hs = jax.lax.scan(step, (h0, c0), x_proj)
     return hs
 
