@@ -91,23 +91,21 @@ def bench_train(jax, jnp, np):
 
 
 def bench_dtw(jax, jnp, np):
-    """Batched-DTW pairs/sec (the reference's joblib-parallel fastdtw hot
-    loop, src/gan/evaluation.py DTW-Wasserstein path)."""
-    from wordgesture_gan_tpu.ops.dtw import dtw_pairs
-    from wordgesture_gan_tpu.ops.dtw_pallas import dtw_pairs_pallas, pallas_dtw_available
+    """Batched-DTW pairs/sec on the production path (the full distance
+    matrix as one fused device program — the reference's joblib-parallel
+    fastdtw hot loop, src/gan/evaluation.py DTW-Wasserstein)."""
+    from wordgesture_gan_tpu.ops.dtw import dtw_distance_matrix
 
     rng = np.random.default_rng(1)
-    x = jnp.asarray(rng.uniform(-1, 1, (DTW_PAIRS, 128, 2)).astype(np.float32))
-    y = jnp.asarray(rng.uniform(-1, 1, (DTW_PAIRS, 128, 2)).astype(np.float32))
+    n = 1024
+    x = rng.uniform(-1, 1, (n, 128, 2)).astype(np.float32)
+    y = rng.uniform(-1, 1, (n, 128, 2)).astype(np.float32)
 
-    fn = dtw_pairs_pallas if pallas_dtw_available() else dtw_pairs
-    fn = jax.jit(fn)
-    float(np.sum(np.asarray(fn(x, y))))  # compile + warmup
+    dtw_distance_matrix(x, y)            # compile + warmup
     t0 = time.perf_counter()
-    reps = 4
-    for _ in range(reps):
-        float(np.sum(np.asarray(fn(x, y))))
-    return reps * DTW_PAIRS / (time.perf_counter() - t0)
+    d = dtw_distance_matrix(x, y)
+    assert d.shape == (n, n) and np.isfinite(d).all()
+    return n * n / (time.perf_counter() - t0)
 
 
 def main() -> None:

@@ -73,26 +73,51 @@ def dtw_pairs(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     return _dtw_from_cost(_pairwise_sq_dists(x, y))
 
 
+@partial(jax.jit, static_argnames=("m_total", "pair_chunk", "pallas"))
+def _dtw_all_pairs_scanned(real_d: jnp.ndarray, fake_d: jnp.ndarray,
+                           m_total: int, pair_chunk: int, pallas: bool) -> jnp.ndarray:
+    """All n·m pair DTWs as ONE device program: a ``lax.scan`` over
+    fixed-size pair chunks (gather → kernel). One dispatch + one D2H for the
+    whole matrix — the chunk loop used to live on the host, which cost a
+    dispatch round-trip per chunk (~30 ms each through a remote-TPU tunnel:
+    ~977 chunks at n=m=2000 was ~29 s of pure latency)."""
+    n = real_d.shape[0]
+    total = n * m_total
+    n_chunks = -(-total // pair_chunk)
+
+    if pallas:
+        from .dtw_pallas import dtw_pairs_pallas
+        kernel = dtw_pairs_pallas
+    else:
+        kernel = dtw_pairs
+
+    def body(_, c):
+        flat = jnp.minimum(c * pair_chunk + jnp.arange(pair_chunk), total - 1)
+        vals = kernel(jnp.take(real_d, flat // m_total, axis=0),
+                      jnp.take(fake_d, flat % m_total, axis=0))
+        return None, vals
+
+    _, out = jax.lax.scan(body, None, jnp.arange(n_chunks, dtype=jnp.int32))
+    return out.reshape(-1)[:total]
+
+
 def dtw_distance_matrix(
     real: np.ndarray,
     fake: np.ndarray,
-    pair_chunk: int = 4096,
+    pair_chunk: int = 8192,
     use_pallas: str = "auto",
 ) -> np.ndarray:
-    """Full (n, m) DTW distance matrix between two gesture sets, computed in
-    device-resident pair chunks. real: (n, L, D), fake: (m, L, D).
+    """Full (n, m) DTW distance matrix between two gesture sets, computed as
+    a single fused device program (scan over device-resident pair chunks).
+    real: (n, L, D), fake: (m, L, D).
 
     ``use_pallas``: "auto" uses the Pallas TPU kernel on TPU backends
-    (~2x the XLA row sweep), "never"/"always" force a path. With n = m =
-    2000 that is ~4M pair-DTWs at ≈145k DTW/s on one v5e.
+    (~2x the XLA row sweep), "never"/"always" force a path.
     """
     n, m = len(real), len(fake)
     L, D = real.shape[1], real.shape[2]
     real_d = jnp.asarray(real[:, :, :D], jnp.float32)
     fake_d = jnp.asarray(fake[:, :, :D], jnp.float32)
-
-    flat_out = np.empty(n * m, dtype=np.float32)
-    idx = np.arange(n * m)
 
     if use_pallas == "always":
         pallas_ok = True
@@ -103,25 +128,7 @@ def dtw_distance_matrix(
 
         pallas_ok = pallas_dtw_available() and L >= 8 and D == 2
 
-    if pallas_ok:
-        from .dtw_pallas import dtw_pairs_pallas
-
-        chunked = jax.jit(lambda xi, yi: dtw_pairs_pallas(
-            jnp.take(real_d, xi, axis=0), jnp.take(fake_d, yi, axis=0)
-        ))
-    else:
-        chunked = jax.jit(lambda xi, yi: dtw_pairs(
-            jnp.take(real_d, xi, axis=0), jnp.take(fake_d, yi, axis=0)
-        ))
-
-    for start in range(0, n * m, pair_chunk):
-        chunk = idx[start : start + pair_chunk]
-        # Pad the tail chunk to a fixed size to avoid recompilation.
-        pad = pair_chunk - len(chunk)
-        padded = np.concatenate([chunk, np.zeros(pad, dtype=chunk.dtype)]) if pad else chunk
-        xi = jnp.asarray(padded // m, jnp.int32)
-        yi = jnp.asarray(padded % m, jnp.int32)
-        vals = np.asarray(chunked(xi, yi))
-        flat_out[start : start + len(chunk)] = vals[: len(chunk)]
-
-    return flat_out.reshape(n, m)
+    flat = np.asarray(_dtw_all_pairs_scanned(
+        real_d, fake_d, m_total=m, pair_chunk=min(pair_chunk, n * m), pallas=pallas_ok
+    ))
+    return flat.reshape(n, m)
