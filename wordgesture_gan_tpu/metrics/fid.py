@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import hashlib
 import pickle
+from functools import partial
 from pathlib import Path
 from typing import Dict, Optional, Tuple
 
@@ -135,15 +136,23 @@ def fid_from_features(real_features: jnp.ndarray, fake_features: jnp.ndarray) ->
     return float(jnp.maximum(frechet_distance(mu_r, cov_r, mu_f, cov_f), 0.0))
 
 
-# Module-level jit: reused across calls (a fresh jit(lambda) per call would
-# recompile every invocation).
-_encode_jit = jax.jit(autoencoder_encode)
+@partial(jax.jit, static_argnames=("batch", "n_chunks"))
+def _encode_scanned(params, data_padded, batch: int, n_chunks: int):
+    """All encode chunks as one scanned device program (one dispatch)."""
+    chunks = data_padded.reshape(n_chunks, batch, *data_padded.shape[1:])
+    _, out = jax.lax.scan(lambda _, x: (None, autoencoder_encode(params, x)), None, chunks)
+    return out.reshape(n_chunks * batch, -1)
 
 
 def encode_features(params: Dict, gestures: np.ndarray, batch: int = 4096) -> jnp.ndarray:
     # Params as jit args (device-put once) — closing over host arrays bakes
     # them into the program, which is pathological to compile remotely.
     params_dev = jax.device_put(params)
-    data = jnp.asarray(gestures, jnp.float32)
-    outs = [_encode_jit(params_dev, data[i : i + batch]) for i in range(0, len(data), batch)]
-    return jnp.concatenate(outs, axis=0)
+    n = len(gestures)
+    if n == 0:
+        return jnp.zeros((0, 1), jnp.float32)
+    batch = min(batch, n)
+    n_chunks = -(-n // batch)
+    padded = np.zeros((n_chunks * batch, *gestures.shape[1:]), np.float32)
+    padded[:n] = np.asarray(gestures, np.float32)
+    return _encode_scanned(params_dev, jnp.asarray(padded), batch, n_chunks)[:n]

@@ -19,6 +19,7 @@ device-friendly estimators replace it:
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -73,6 +74,56 @@ def energy_distance(
     )
 
 
+_BIG = 1e30
+
+
+def _pad_rows(x: np.ndarray, chunk: int) -> np.ndarray:
+    pad = (-len(x)) % chunk
+    if pad:
+        x = np.concatenate([x, np.zeros((pad, x.shape[1]), x.dtype)])
+    return x
+
+
+@partial(jax.jit, static_argnames=("k", "row_chunk"))
+def _knn_radii_scanned(x: jnp.ndarray, n_valid: jnp.ndarray, k: int, row_chunk: int):
+    """Per-sample distance to the k-th same-set neighbor, row-chunk scan.
+    Rows beyond ``n_valid`` (padding) get radius -BIG (cover nothing);
+    padded columns are masked to +BIG so they never count as neighbors."""
+    X = x.shape[0]
+    col_ok = jnp.arange(X) < n_valid
+
+    def body(_, c):
+        rows = jax.lax.dynamic_slice_in_dim(x, c * row_chunk, row_chunk)
+        d = jnp.where(col_ok[None, :], pairwise_l2(rows, x), _BIG)
+        return None, -jax.lax.top_k(-d, k + 1)[0][:, k]
+
+    _, r = jax.lax.scan(body, None, jnp.arange(X // row_chunk, dtype=jnp.int32))
+    r = r.reshape(X)
+    return jnp.where(jnp.arange(X) < n_valid, r, -_BIG)
+
+
+@partial(jax.jit, static_argnames=("row_chunk",))
+def _knn_coverage_scanned(real: jnp.ndarray, fake: jnp.ndarray,
+                          real_radii: jnp.ndarray, fake_radii: jnp.ndarray,
+                          row_chunk: int):
+    """covered_fake[j] = any_i d(real_i, fake_j) <= real_radii[i];
+    covered_real[i] = any_j d <= fake_radii[j]. One scan over real chunks."""
+    N = real.shape[0]
+
+    def body(covered_fake, c):
+        rows = jax.lax.dynamic_slice_in_dim(real, c * row_chunk, row_chunk)
+        rr = jax.lax.dynamic_slice_in_dim(real_radii, c * row_chunk, row_chunk)
+        d = pairwise_l2(rows, fake)                         # (chunk, M)
+        covered_fake = covered_fake | jnp.any(d <= rr[:, None], axis=0)
+        covered_real_chunk = jnp.any(d <= fake_radii[None, :], axis=1)
+        return covered_fake, covered_real_chunk
+
+    covered_fake0 = jnp.zeros(fake.shape[0], bool)
+    covered_fake, covered_real = jax.lax.scan(
+        body, covered_fake0, jnp.arange(N // row_chunk, dtype=jnp.int32))
+    return covered_fake, covered_real.reshape(N)
+
+
 def chunked_knn_precision_recall(
     real_flat: np.ndarray,
     fake_flat: np.ndarray,
@@ -81,38 +132,22 @@ def chunked_knn_precision_recall(
 ) -> Tuple[float, float]:
     """k-NN manifold precision/recall without materializing n x m matrices.
 
-    Radii: per-sample distance to the k-th same-set neighbor, computed by
-    streaming row blocks and keeping a running (k+1)-smallest set via
-    top-k on the negated block. Coverage: same streaming with running OR.
-    """
-    real_d = jnp.asarray(real_flat, jnp.float32)
-    fake_d = jnp.asarray(fake_flat, jnp.float32)
+    Radii: per-sample distance to the k-th same-set neighbor; coverage: a
+    running OR over row blocks. Both passes run as single scanned device
+    programs (a host chunk loop costs one dispatch round-trip per block —
+    ~150 of them at 100k scale through a remote-TPU link)."""
+    n_real, n_fake = len(real_flat), len(fake_flat)
+    row_chunk = min(row_chunk, max(n_real, 1), max(n_fake, 1))
+    real_d = jnp.asarray(_pad_rows(np.asarray(real_flat, np.float32), row_chunk))
+    fake_d = jnp.asarray(_pad_rows(np.asarray(fake_flat, np.float32), row_chunk))
 
-    def radii(x: jnp.ndarray) -> jnp.ndarray:
-        n = x.shape[0]
-        out = []
-        smallest = jax.jit(lambda rows, full: -jax.lax.top_k(
-            -pairwise_l2(rows, full), k + 1)[0][:, k])
-        for s in range(0, n, row_chunk):
-            out.append(np.asarray(smallest(x[s : s + row_chunk], x)))
-        return jnp.asarray(np.concatenate(out))
+    real_radii = _knn_radii_scanned(real_d, jnp.int32(n_real), k, row_chunk)
+    fake_radii = _knn_radii_scanned(fake_d, jnp.int32(n_fake), k, row_chunk)
+    covered_fake, covered_real = _knn_coverage_scanned(
+        real_d, fake_d, real_radii, fake_radii, row_chunk)
 
-    real_radii = radii(real_d)     # includes self-distance at rank 0
-    fake_radii = radii(fake_d)
-
-    covered_fake = np.zeros(fake_d.shape[0], dtype=bool)   # within a real ball
-    covered_real = np.zeros(real_d.shape[0], dtype=bool)   # within a fake ball
-
-    cross_fn = jax.jit(lambda a_rows, b: pairwise_l2(a_rows, b))
-    n = real_d.shape[0]
-    for s in range(0, n, row_chunk):
-        rows = real_d[s : s + row_chunk]
-        d = cross_fn(rows, fake_d)                          # (chunk, m)
-        covered_fake |= np.asarray(jnp.any(d <= real_radii[s : s + row_chunk, None], axis=0))
-        covered_real[s : s + row_chunk] = np.asarray(jnp.any(d <= fake_radii[None, :], axis=1))
-
-    precision = float(covered_fake.mean())
-    recall = float(covered_real.mean())
+    precision = float(np.asarray(covered_fake)[:n_fake].mean())
+    recall = float(np.asarray(covered_real)[:n_real].mean())
     return precision, recall
 
 

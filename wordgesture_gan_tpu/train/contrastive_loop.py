@@ -98,22 +98,33 @@ def contrastive_train_epoch(
     return new_state, losses
 
 
-# Module-level jit: reused across calls (a fresh jit(lambda) per call would
-# recompile every invocation).
-_embed_jit = jax.jit(
-    lambda pd, x: contrastive_encoder_apply(pd["params"], pd["bn"], x, train=False)[0]
-)
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("batch", "n_chunks"))
+def _embed_scanned(pd, data_padded, batch: int, n_chunks: int):
+    """All embed chunks as one scanned device program (one dispatch; a host
+    chunk loop costs a round-trip per chunk through a remote-TPU link)."""
+    chunks = data_padded.reshape(n_chunks, batch, *data_padded.shape[1:])
+    _, out = jax.lax.scan(
+        lambda _, x: (None, contrastive_encoder_apply(pd["params"], pd["bn"], x, train=False)[0]),
+        None, chunks)
+    return out.reshape(n_chunks * batch, -1)
 
 
 def embed_gestures(state: Dict, gestures: np.ndarray, config: ContrastiveConfig,
                    batch: int = 4096) -> np.ndarray:
     """Eval-mode embeddings for an array of gestures. Params are jit args
     (never baked host-array constants — pathological to compile remotely)."""
+    n = len(gestures)
+    if n == 0:
+        return np.zeros((0, config.embedding_dim), np.float32)
     params_dev = jax.device_put({"params": state["params"], "bn": state["bn"]})
-    outs = []
-    for i in range(0, len(gestures), batch):
-        outs.append(np.asarray(_embed_jit(params_dev, jnp.asarray(gestures[i : i + batch], jnp.float32))))
-    return np.concatenate(outs, axis=0) if outs else np.zeros((0, config.embedding_dim), np.float32)
+    batch = min(batch, n)
+    n_chunks = -(-n // batch)
+    padded = np.zeros((n_chunks * batch, *gestures.shape[1:]), np.float32)
+    padded[:n] = np.asarray(gestures, np.float32)
+    return np.asarray(_embed_scanned(params_dev, jnp.asarray(padded), batch, n_chunks))[:n]
 
 
 def centroid_recall(

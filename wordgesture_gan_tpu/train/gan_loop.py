@@ -166,6 +166,24 @@ def _generator_jit(model_config: ModelConfig):
     return jax.jit(lambda gp, p, z: generator_apply(gp, p, z, model_config))
 
 
+@functools.partial(jax.jit, static_argnames=("model_config", "batch", "n_chunks"))
+def _generate_scanned(g_params, protos_padded, key, truncation,
+                      model_config: ModelConfig, batch: int, n_chunks: int):
+    """All sample chunks as ONE device program (scan over fixed-size chunks)
+    — a host loop here costs a dispatch round-trip per chunk, which dominates
+    at 100k-generation scale through a remote-TPU link."""
+    protos = protos_padded.reshape(n_chunks, batch, *protos_padded.shape[1:])
+
+    def body(_, xs):
+        c, proto = xs
+        z = jax.random.normal(jax.random.fold_in(key, c),
+                              (batch, model_config.latent_dim)) * truncation
+        return None, generator_apply(g_params, proto, z, model_config)
+
+    _, out = jax.lax.scan(body, None, (jnp.arange(n_chunks, dtype=jnp.int32), protos))
+    return out.reshape(n_chunks * batch, *out.shape[2:])
+
+
 def generate_gestures(
     state: Dict,
     prototypes: np.ndarray,
@@ -179,22 +197,18 @@ def generate_gestures(
 
     Params are passed as jit *arguments* (device-resident), never baked as
     constants — constant-folding a param pytree into the program is
-    pathological through the remote-TPU compile path. The tail chunk is
-    padded to the fixed batch size to avoid a second compile.
+    pathological through the remote-TPU compile path. Prototypes are padded
+    to whole fixed-size chunks and the per-chunk loop runs as one scanned
+    device program (one dispatch, one D2H for all samples).
     """
     g_params = jax.device_put(state["g"]["params"])
-    gen = _generator_jit(model_config)
-    key = jax.random.PRNGKey(seed)
     n = len(prototypes)
-    outs = []
-    for i in range(0, n, batch):
-        chunk = np.asarray(prototypes[i : i + batch], np.float32)
-        valid = len(chunk)
-        if valid < batch:
-            chunk = np.concatenate(
-                [chunk, np.zeros((batch - valid, *chunk.shape[1:]), np.float32)]
-            )
-        key, sub = jax.random.split(key)
-        z = jax.random.normal(sub, (batch, model_config.latent_dim)) * truncation
-        outs.append(np.asarray(gen(g_params, jnp.asarray(chunk), z))[:valid])
-    return np.concatenate(outs, axis=0)
+    if n == 0:
+        return np.zeros((0, *prototypes.shape[1:]), np.float32)
+    batch = min(batch, max(n, 1))
+    n_chunks = -(-n // batch)
+    padded = np.zeros((n_chunks * batch, *prototypes.shape[1:]), np.float32)
+    padded[:n] = np.asarray(prototypes, np.float32)
+    out = _generate_scanned(g_params, jnp.asarray(padded), jax.random.PRNGKey(seed),
+                            jnp.float32(truncation), model_config, batch, n_chunks)
+    return np.asarray(out)[:n]
