@@ -109,6 +109,9 @@ def bench_dtw(jax, jnp, np):
 
 
 def main() -> None:
+    from wordgesture_gan_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
     import numpy as np

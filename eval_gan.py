@@ -48,6 +48,9 @@ def main() -> None:
     add_data_args(parser)
     args = parser.parse_args()
 
+    from wordgesture_gan_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
 
     log(f"Devices: {jax.devices()}")

@@ -50,6 +50,9 @@ def main() -> None:
     from wordgesture_gan_tpu.parallel import maybe_init_distributed
 
     maybe_init_distributed()   # no-op single-host; joins the pod runtime when configured
+    from wordgesture_gan_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
 
     log(f"Devices: {jax.devices()}")
