@@ -43,6 +43,10 @@ def main() -> None:
     parser.add_argument("--checkpoint-dir", type=str, default="checkpoints")
     parser.add_argument("--generator", choices=["bilstm", "mlp", "transformer"],
                         default="bilstm", help="generator family")
+    parser.add_argument("--precision", choices=["float32", "bfloat16"],
+                        default="float32",
+                        help="generation compute precision (metrics always fp32; "
+                             "bfloat16 speeds the 100k-scale generation)")
     parser.add_argument("--save-figures", type=str, default=None,
                         help="directory for comparison/overlay figures")
     add_data_args(parser)
@@ -59,7 +63,8 @@ def main() -> None:
     log("")
     seed_everything(args.seed)
 
-    model_config = ModelConfig(generator_type=args.generator)
+    model_config = ModelConfig(generator_type=args.generator,
+                               compute_dtype=args.precision)
     training_config = TrainingConfig()
     eval_config = EvaluationConfig(
         n_samples=args.n_samples,
