@@ -151,7 +151,9 @@ def encode_features(params: Dict, gestures: np.ndarray, batch: int = 4096) -> jn
     n = len(gestures)
     if n == 0:
         return jnp.zeros((0, 1), jnp.float32)
-    batch = min(batch, n)
+    # Power-of-two chunks: tiling-friendly and cache-friendly (see
+    # train/gan_loop.py:generate_gestures).
+    batch = min(batch, 1 << (n - 1).bit_length())
     n_chunks = -(-n // batch)
     padded = np.zeros((n_chunks * batch, *gestures.shape[1:]), np.float32)
     padded[:n] = np.asarray(gestures, np.float32)

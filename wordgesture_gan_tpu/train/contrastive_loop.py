@@ -120,7 +120,8 @@ def embed_gestures(state: Dict, gestures: np.ndarray, config: ContrastiveConfig,
     if n == 0:
         return np.zeros((0, config.embedding_dim), np.float32)
     params_dev = jax.device_put({"params": state["params"], "bn": state["bn"]})
-    batch = min(batch, n)
+    # Power-of-two chunks (see train/gan_loop.py:generate_gestures).
+    batch = min(batch, 1 << (n - 1).bit_length())
     n_chunks = -(-n // batch)
     padded = np.zeros((n_chunks * batch, *gestures.shape[1:]), np.float32)
     padded[:n] = np.asarray(gestures, np.float32)

@@ -41,7 +41,14 @@ def enable_compilation_cache(cache_dir: str | None = None, verbose: bool = False
         # silently caches nothing — measured: the DTW program (2.2s wall)
         # writes zero entries at 2.0s threshold, all entries at 0.1s.
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        # Skip tiny entries: XLA:CPU AOT results (~4-10 KB here, from
+        # host-side init programs) refuse to re-load in this XLA version
+        # (tuning flags like +prefer-no-scatter are compared as machine
+        # features), so caching them only produces load-error spam. Real
+        # TPU programs measure 100 KB - 120 MB.
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 64 * 1024)
+        # Bound the directory (epoch-program entries are ~119 MB each).
+        jax.config.update("jax_compilation_cache_max_size", 4 * 1024**3)
         _ENABLED = True
     except Exception:  # unknown config key on an old jax — degrade silently
         return None
