@@ -42,6 +42,19 @@ from ..ops.stats import (
 from .fid import encode_features, fid_from_features, load_or_train_fid_autoencoder
 
 
+def _make_ae_test_loss():
+    import jax
+
+    from ..models.gan import autoencoder_apply
+
+    # Module-level jit: a fresh jit(lambda) per eval call would recompile
+    # every invocation.
+    return jax.jit(lambda p, x: jnp.abs(autoencoder_apply(p, x) - x).mean())
+
+
+_ae_test_loss = _make_ae_test_loss()
+
+
 def evaluate_all_metrics(
     real_gestures: np.ndarray,
     fake_gestures: np.ndarray,
@@ -116,12 +129,9 @@ def evaluate_all_metrics(
     results["ae_reconstruction_loss"] = final_loss
 
     fake_features = encode_features(ae_params, fake_gestures)
-    from ..models.gan import autoencoder_apply
-
     import jax
 
-    ae_test = jax.jit(lambda p, x: jnp.abs(autoencoder_apply(p, x) - x).mean())
-    results["ae_test_loss"] = float(ae_test(jax.device_put(ae_params), real_d))
+    results["ae_test_loss"] = float(_ae_test_loss(jax.device_put(ae_params), real_d))
     results["fid"] = fid_from_features(real_features, fake_features)
 
     # --- k-NN precision / recall (evaluation.py:470-488)
