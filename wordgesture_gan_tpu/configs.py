@@ -30,7 +30,10 @@ class ModelConfig:
 
     # Generator family: "bilstm" (reference parity), "mlp" (BASELINE config 1
     # baseline variant), or "transformer" (BASELINE config 5 variant — fully
-    # parallel over the sequence, no recurrence; fastest on TPU)
+    # parallel over the sequence, no recurrence). Measured on 1x v5e (bf16,
+    # synthetic 200-epoch runs): bilstm trains ~2x faster (16.2k vs 7.7k
+    # gestures/s) but the transformer wins fidelity by a wide margin
+    # (L2-W 1.38 vs 3.16, DTW-W 0.65 vs 2.09, FID ~0 vs 0.005-0.016).
     generator_type: str = "bilstm"
 
     # Generator (bidirectional LSTM)

@@ -7,8 +7,12 @@ variants cover the framework's scale configs:
   end-to-end baseline (BASELINE.json config 1).
 * ``transformer`` — pre-LN encoder blocks over the 128-token sequence with
   learned positions; no recurrence, so the whole forward is batched MXU
-  matmuls + one attention — the TPU-fast variant (BASELINE.json config 5),
-  and it supports variable-length traces via an optional padding mask.
+  matmuls + one attention (BASELINE.json config 5), and it supports
+  variable-length traces via an optional padding mask. Measured (1x v5e,
+  bf16, 200-epoch synthetic runs): trains at ~half the BiLSTM's rate at
+  these tiny dims (attention FLOPs dominate) but generates far higher
+  fidelity (runs/eval_tfm.log vs runs/eval_full.log: L2-W 1.38 vs 3.16,
+  DTW-W 0.65 vs 2.09, precision 0.97 vs 0.62).
 
 All variants share the conditional-generator contract:
 ``apply(params, prototype (B, L, 3), z (B, Z)) → gesture (B, L, 3)``.
