@@ -44,6 +44,11 @@ def main() -> None:
     parser.add_argument("--precision", choices=["float32", "bfloat16"],
                         default="bfloat16",
                         help="compute precision (params/optimizer stay fp32)")
+    parser.add_argument("--variable-length", action="store_true",
+                        help="train on natural-resolution traces with validity "
+                             "masks (transformer generator; BASELINE config 5)")
+    parser.add_argument("--arc-step", type=float, default=0.02,
+                        help="arc-length per point for --variable-length")
     add_data_args(parser)
     args = parser.parse_args()
 
@@ -58,11 +63,16 @@ def main() -> None:
     log(f"Devices: {jax.devices()}")
     seed_everything(args.seed)
 
-    model_config = ModelConfig(generator_type=args.generator,
-                               compute_dtype=args.precision)
+    model_config = ModelConfig(
+        generator_type="transformer" if args.variable_length else args.generator,
+        compute_dtype=args.precision)
     training_config = TrainingConfig(num_epochs=args.epochs, batch_size=args.batch_size)
     runtime_config = RuntimeConfig(data_axis_size=args.data_axis_size,
                                    precision=args.precision)
+
+    if args.variable_length:
+        _train_variable(args, model_config, training_config, runtime_config)
+        return
 
     train_ds, test_ds, keyboard = load_split(args, model_config, training_config)
     log(f"Data: {len(train_ds)} train, {len(test_ds)} test")
@@ -137,6 +147,42 @@ def main() -> None:
 
     if wb is not None:
         wb.finish()
+    log("Training complete!")
+
+
+def _train_variable(args, model_config, training_config, runtime_config) -> None:
+    """Variable-length training path (--variable-length; BASELINE config 5)."""
+    from wordgesture_gan_tpu.cli_common import resolve_dataset_zip
+    from wordgesture_gan_tpu.data.variable_length import (
+        create_variable_split,
+        load_variable_dataset_from_zip,
+    )
+    from wordgesture_gan_tpu.keyboard import QWERTYKeyboard
+    from wordgesture_gan_tpu.train.variable_loop import train_variable_gan
+
+    keyboard = QWERTYKeyboard()
+    zip_path = resolve_dataset_zip(args)
+    by_word, _ = load_variable_dataset_from_zip(
+        zip_path, keyboard, max_len=model_config.seq_length, arc_step=args.arc_step,
+        max_samples_per_word=training_config.max_samples_per_word,
+        max_files=args.max_files, seed=args.seed,
+    )
+    train_ds, test_ds = create_variable_split(
+        by_word, keyboard, max_len=model_config.seq_length,
+        train_ratio=training_config.train_ratio, seed=args.seed,
+    )
+    log(f"Data: {len(train_ds)} train, {len(test_ds)} test (variable-length)")
+
+    train_variable_gan(
+        train_ds,
+        model_config=model_config,
+        training_config=training_config,
+        runtime_config=runtime_config,
+        num_epochs=args.epochs,
+        seed=args.seed,
+        checkpoint_dir=args.checkpoint_dir,
+        resume=not args.no_resume,
+    )
     log("Training complete!")
 
 

@@ -151,3 +151,35 @@ def gan_train_step_masked(
     }
     metrics = {"d1_loss": d1_loss, "d2_loss": d2_loss, **aux}
     return new_state, metrics
+
+
+def gan_train_epoch_masked(
+    state: Dict,
+    epoch_batches: Dict[str, jnp.ndarray],   # gesture/prototype (n, B, L, 3), mask (n, B, L)
+    lr: jnp.ndarray,
+    model_config: ModelConfig,
+    training_config: TrainingConfig,
+) -> Tuple[Dict, Dict[str, jnp.ndarray]]:
+    """Whole variable-length epoch as one ``lax.scan`` (masked twin of
+    gan_step.gan_train_epoch)."""
+
+    def step(carry, batch):
+        return gan_train_step_masked(carry, batch, lr, model_config, training_config)
+
+    new_state, metric_traces = jax.lax.scan(step, state, epoch_batches)
+    new_state = dict(new_state)
+    new_state["epoch"] = state["epoch"] + 1
+    return new_state, metric_traces
+
+
+def make_epoch_batches_masked(rng_key, gestures: jnp.ndarray, prototypes: jnp.ndarray,
+                              masks: jnp.ndarray, batch_size: int) -> Dict[str, jnp.ndarray]:
+    """On-device shuffle + reshape into stacked masked batches (drop-last)."""
+    n = gestures.shape[0]
+    n_batches = n // batch_size
+    perm = jax.random.permutation(rng_key, n)[: n_batches * batch_size]
+
+    def take(x):
+        return jnp.take(x, perm, axis=0).reshape(n_batches, batch_size, *x.shape[1:])
+
+    return {"gesture": take(gestures), "prototype": take(prototypes), "mask": take(masks)}

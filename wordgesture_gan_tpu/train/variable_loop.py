@@ -1,0 +1,127 @@
+"""Variable-length GAN training driver (BASELINE config 5 end-to-end).
+
+The masked twin of ``gan_loop.train_gan``: device-resident padded traces +
+validity masks, the transformer generator (its attention consumes the mask),
+whole epochs as one scanned program, the same mesh/sharding, LR schedule,
+checkpointing, and failure-detection contract.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import (
+    DEFAULT_RUNTIME_CONFIG,
+    DEFAULT_TRAINING_CONFIG,
+    ModelConfig,
+    RuntimeConfig,
+    TrainingConfig,
+)
+from ..data.variable_length import VariableGestureArrays
+from ..parallel.mesh import batch_sharding, create_mesh, packed_replicate, replicate
+from ..utils.logging import log
+from ..utils.profiling import Throughput
+from .checkpoint import restore_checkpoint, save_checkpoint
+from .gan_loop import TrainResult
+from .masked_step import gan_train_epoch_masked, make_epoch_batches_masked
+from .schedules import cosine_annealing_lr
+from .state import init_gan_state
+
+
+def train_variable_gan(
+    train_ds: VariableGestureArrays,
+    model_config: ModelConfig,
+    training_config: TrainingConfig = DEFAULT_TRAINING_CONFIG,
+    runtime_config: RuntimeConfig = DEFAULT_RUNTIME_CONFIG,
+    num_epochs: Optional[int] = None,
+    seed: int = 42,
+    checkpoint_dir: Optional[str] = None,
+    resume: bool = True,
+    epoch_callback: Optional[Callable[[int, Dict, Dict[str, float]], None]] = None,
+    verbose: bool = True,
+) -> TrainResult:
+    """Full variable-length training run (transformer generator required)."""
+    assert model_config.generator_type == "transformer", (
+        "--variable-length training uses the transformer generator"
+    )
+    say = log if verbose else (lambda *_: None)
+    num_epochs = num_epochs or training_config.num_epochs
+
+    mesh = create_mesh(runtime_config.data_axis_size, runtime_config.mesh_axis_names)
+    n_shards = mesh.devices.size
+    say(f"Mesh: {n_shards} device(s) on axis {runtime_config.mesh_axis_names} "
+        f"(variable-length, masked)")
+
+    g_dev = replicate(mesh, jnp.asarray(train_ds.gestures, jnp.float32))
+    p_dev = replicate(mesh, jnp.asarray(train_ds.prototypes, jnp.float32))
+    m_dev = replicate(mesh, jnp.asarray(train_ds.masks(), jnp.float32))
+
+    state = init_gan_state(seed, model_config, training_config)
+    start_epoch = 0
+    if resume and checkpoint_dir:
+        restored = restore_checkpoint(state, checkpoint_dir)
+        if restored is not None:
+            state = restored
+            start_epoch = int(np.asarray(state["epoch"]))
+            say(f"Resumed from checkpoint at epoch {start_epoch}")
+    state = packed_replicate(mesh, state)
+
+    if start_epoch >= num_epochs:
+        say(f"Already trained to epoch {start_epoch}, nothing to do.")
+        return TrainResult(state=state)
+
+    batch_shard = batch_sharding(mesh, batch_axis=1)
+    epoch_fn = jax.jit(
+        lambda s, eb, lr: gan_train_epoch_masked(s, eb, lr, model_config, training_config),
+        donate_argnums=(0,) if runtime_config.donate_state else (),
+    )
+
+    throughput = Throughput(n_chips=n_shards)
+    history = []
+    samples_per_epoch = (len(train_ds) // training_config.batch_size) * training_config.batch_size
+
+    for epoch in range(start_epoch, num_epochs):
+        lr = jnp.float32(cosine_annealing_lr(
+            training_config.learning_rate, epoch, num_epochs,
+            training_config.lr_scheduler_eta_min))
+        shuffle_key = jax.random.fold_in(jax.random.PRNGKey(seed ^ 0x5EED), epoch)
+        batches = make_epoch_batches_masked(shuffle_key, g_dev, p_dev, m_dev,
+                                            training_config.batch_size)
+        batches = jax.tree.map(lambda x: jax.device_put(x, batch_shard), batches)
+
+        t0 = time.perf_counter()
+        state, traces = epoch_fn(state, batches, lr)
+        jax.block_until_ready(traces)
+        dt = time.perf_counter() - t0
+        throughput.update(samples_per_epoch, dt)
+
+        losses = {k: float(np.mean(v)) for k, v in traces.items()}
+        losses["lr"] = float(lr)
+        bad = [k for k, v in losses.items() if not np.isfinite(v)]
+        if bad:
+            raise FloatingPointError(
+                f"Non-finite losses at epoch {epoch + 1}: {bad}. "
+                f"Last good checkpoint is in {checkpoint_dir!r}.")
+        history.append(losses)
+        say(f"Epoch {epoch + 1}/{num_epochs} [{dt:.1f}s, "
+            f"{samples_per_epoch / max(dt, 1e-9):.0f} gestures/s] - "
+            f"D1:{losses['d1_loss']:.3f} D2:{losses['d2_loss']:.3f} "
+            f"C1:{losses['cycle1_total']:.3f} C2:{losses['cycle2_total']:.3f} "
+            f"Rec:{losses['cycle2_rec']:.3f} LR:{float(lr):.6f}")
+
+        if epoch_callback is not None:
+            epoch_callback(epoch, state, losses)
+        if checkpoint_dir and (
+            (epoch + 1) % training_config.save_every == 0 or epoch == num_epochs - 1
+        ):
+            save_checkpoint(state, checkpoint_dir, epoch)
+            say(f"  Checkpoint saved at epoch {epoch + 1}")
+
+    say(f"Training done: {throughput.per_sec:.0f} gestures/s "
+        f"({throughput.per_sec_per_chip:.0f}/chip over {n_shards} chip(s))")
+    return TrainResult(state=state, history=history, throughput=throughput)
