@@ -47,6 +47,12 @@ def main() -> None:
                         default="float32",
                         help="generation compute precision (metrics always fp32; "
                              "bfloat16 speeds the 100k-scale generation)")
+    parser.add_argument("--variable-length", action="store_true",
+                        help="evaluate a --variable-length checkpoint: masked "
+                             "generation at natural resolution, metrics on the "
+                             "common 128-point arc-length grid")
+    parser.add_argument("--arc-step", type=float, default=0.02,
+                        help="arc-length per point for --variable-length")
     parser.add_argument("--save-figures", type=str, default=None,
                         help="directory for comparison/overlay figures")
     add_data_args(parser)
@@ -72,6 +78,10 @@ def main() -> None:
         savgol_window=args.savgol_window,
         precision_recall_k=args.precision_k,
     )
+
+    if args.variable_length:
+        _run_variable_length(args, model_config, training_config, eval_config)
+        return
 
     log("[1/5] Loading data...")
     train_ds, test_ds, keyboard = load_split(args, model_config, training_config)
@@ -169,6 +179,85 @@ def main() -> None:
 
     log("")
     log("Done.")
+
+
+def _run_variable_length(args, model_config, training_config, eval_config):
+    """Evaluate a --variable-length (masked transformer) checkpoint.
+
+    Real and generated traces both live at natural resolution; for metric
+    comparability each valid segment is resampled onto the common 128-point
+    arc-length grid with the on-device kernel (ops/resample.py), then the
+    standard suite runs. The time channel rides the interpolation, as in the
+    parity pipeline."""
+    import dataclasses
+
+    import numpy as np
+
+    from wordgesture_gan_tpu.cli_common import resolve_dataset_zip
+    from wordgesture_gan_tpu.data.variable_length import (
+        create_variable_split,
+        load_variable_dataset_from_zip,
+    )
+    from wordgesture_gan_tpu.eval.gan_eval import PAPER_GAN, print_results_table
+    from wordgesture_gan_tpu.keyboard import QWERTYKeyboard
+    from wordgesture_gan_tpu.metrics.suite import evaluate_all_metrics
+    from wordgesture_gan_tpu.ops.resample import batched_arclength_resample
+    from wordgesture_gan_tpu.train.checkpoint import restore_checkpoint
+    from wordgesture_gan_tpu.train.state import init_gan_state
+    from wordgesture_gan_tpu.train.variable_loop import generate_variable_gestures
+
+    model_config = dataclasses.replace(model_config, generator_type="transformer")
+    keyboard = QWERTYKeyboard()
+    zip_path = resolve_dataset_zip(args)
+    log("[1/5] Loading variable-length data...")
+    by_word, _ = load_variable_dataset_from_zip(
+        zip_path, keyboard, max_len=model_config.seq_length, arc_step=args.arc_step,
+        max_samples_per_word=training_config.max_samples_per_word,
+        max_files=args.max_files, seed=args.seed,
+    )
+    train_ds, test_ds = create_variable_split(
+        by_word, keyboard, max_len=model_config.seq_length,
+        train_ratio=training_config.train_ratio, seed=args.seed,
+    )
+
+    log("[2/5] Loading variable-length GAN checkpoint...")
+    template = init_gan_state(args.seed, model_config, training_config)
+    state = restore_checkpoint(template, args.checkpoint_dir)
+    if state is None:
+        log(f"  ERROR: No checkpoint found in {args.checkpoint_dir}")
+        sys.exit(1)
+    log(f"  Loaded checkpoint from epoch {int(np.asarray(state['epoch']))}")
+
+    n = min(args.n_samples, len(test_ds))
+    log(f"[3/5] Generating {n} masked samples...")
+    fake = generate_variable_gestures(
+        state, test_ds.prototypes[:n], test_ds.masks()[:n], model_config,
+        truncation=args.truncation, seed=args.seed,
+    )
+
+    log("[4/5] Resampling to the common 128-point grid + computing metrics...")
+    import jax.numpy as jnp
+
+    lengths = jnp.asarray(test_ds.lengths[:n])
+    real128 = np.asarray(batched_arclength_resample(
+        jnp.asarray(test_ds.gestures[:n]), lengths, 128))
+    fake128 = np.asarray(batched_arclength_resample(
+        jnp.asarray(fake), lengths, 128))
+    tr_lengths = jnp.asarray(train_ds.lengths)
+    train128 = np.asarray(batched_arclength_resample(
+        jnp.asarray(train_ds.gestures), tr_lengths, 128))
+
+    results = evaluate_all_metrics(
+        real128, fake128, train128,
+        model_config=dataclasses.replace(model_config, seq_length=128),
+        eval_config=eval_config, skip_dtw=args.fast, cache_dir=args.checkpoint_dir,
+    )
+    log("[5/5] Done computing metrics.")
+    log("")
+    log(f"Variable-length traces: test lengths {test_ds.lengths[:n].min()}-"
+        f"{test_ds.lengths[:n].max()} (mean {test_ds.lengths[:n].mean():.1f}); "
+        f"metrics on the common 128-point grid:")
+    print_results_table(results, "GAN (variable-length)", PAPER_GAN, args.precision_k)
 
 
 def _run_large_scale(args, train_ds, test_ds, model_config, training_config, eval_config):

@@ -125,3 +125,56 @@ def train_variable_gan(
     say(f"Training done: {throughput.per_sec:.0f} gestures/s "
         f"({throughput.per_sec_per_chip:.0f}/chip over {n_shards} chip(s))")
     return TrainResult(state=state, history=history, throughput=throughput)
+
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("model_config", "batch", "n_chunks"))
+def _generate_variable_scanned(g_params, protos_padded, masks_padded, key, truncation,
+                               model_config: ModelConfig, batch: int, n_chunks: int):
+    """Masked sampling as one scanned device program (variable-length twin of
+    gan_loop._generate_scanned)."""
+    from ..models.generators import transformer_generator_apply
+
+    protos = protos_padded.reshape(n_chunks, batch, *protos_padded.shape[1:])
+    masks = masks_padded.reshape(n_chunks, batch, masks_padded.shape[1])
+
+    def body(_, xs):
+        c, proto, mask = xs
+        z = jax.random.normal(jax.random.fold_in(key, c),
+                              (batch, model_config.latent_dim)) * truncation
+        out = transformer_generator_apply(g_params, proto, z, model_config, pad_mask=mask)
+        return None, out * mask[:, :, None]
+
+    _, out = jax.lax.scan(
+        body, None,
+        (jnp.arange(n_chunks, dtype=jnp.int32), protos, masks))
+    return out.reshape(n_chunks * batch, *out.shape[2:])
+
+
+def generate_variable_gestures(
+    state: Dict,
+    prototypes: np.ndarray,      # (N, L, 3) padded
+    masks: np.ndarray,           # (N, L) validity
+    model_config: ModelConfig,
+    truncation: float = 1.0,
+    seed: int = 0,
+    batch: int = 512,
+) -> np.ndarray:
+    """Batched masked sampling from a variable-length (transformer) GAN.
+    Padding positions come back zeroed; consumers use the mask/lengths."""
+    g_params = jax.device_put(state["g"]["params"])
+    n = len(prototypes)
+    if n == 0:
+        return np.zeros((0, *prototypes.shape[1:]), np.float32)
+    batch = min(batch, 1 << (n - 1).bit_length())
+    n_chunks = -(-n // batch)
+    p_pad = np.zeros((n_chunks * batch, *prototypes.shape[1:]), np.float32)
+    p_pad[:n] = np.asarray(prototypes, np.float32)
+    m_pad = np.zeros((n_chunks * batch, masks.shape[1]), np.float32)
+    m_pad[:n] = np.asarray(masks, np.float32)
+    out = _generate_variable_scanned(g_params, jnp.asarray(p_pad), jnp.asarray(m_pad),
+                                     jax.random.PRNGKey(seed), jnp.float32(truncation),
+                                     model_config, batch, n_chunks)
+    return np.asarray(out)[:n]
