@@ -150,3 +150,31 @@ def test_variable_dataset_end_to_end(synthetic_zip):
                   zip(jax.tree.leaves(state["g"]["params"]),
                       jax.tree.leaves(new_state["g"]["params"])))
     assert changed > 0
+
+
+def test_generate_variable_gestures_respects_mask():
+    import jax
+    import numpy as np
+
+    from wordgesture_gan_tpu.configs import ModelConfig, TrainingConfig
+    from wordgesture_gan_tpu.train.state import init_gan_state
+    from wordgesture_gan_tpu.train.variable_loop import generate_variable_gestures
+
+    mcfg = ModelConfig(seq_length=32, generator_type="transformer",
+                       tfm_d_model=16, tfm_num_heads=2, tfm_num_layers=2,
+                       latent_dim=8, enc_hidden_dims=(24, 16), disc_hidden_dims=(24, 16))
+    state = init_gan_state(0, mcfg, TrainingConfig(batch_size=4, n_critic=1))
+
+    rng = np.random.default_rng(0)
+    n = 10
+    protos = rng.uniform(-1, 1, (n, 32, 3)).astype(np.float32)
+    lengths = rng.integers(8, 33, n)
+    masks = (np.arange(32)[None, :] < lengths[:, None]).astype(np.float32)
+
+    out = generate_variable_gestures(state, protos, masks, mcfg, seed=1)
+    assert out.shape == (n, 32, 3)
+    assert np.isfinite(out).all()
+    # Padding positions are zeroed; valid positions are generally not.
+    for i in range(n):
+        assert np.all(out[i, lengths[i]:] == 0.0)
+    assert np.any(out[:, :8] != 0.0)

@@ -115,7 +115,25 @@ def load_variable_dataset_from_zip(
     Returns (by_word: word → [(padded (max_len,3), n)], prototype_cache —
     internal; use :func:`create_variable_split` to materialize arrays).
     """
+    import hashlib
+    import pickle
+    from pathlib import Path
+
     say = print if verbose else (lambda *a, **k: None)
+
+    # Disk cache next to the zip, keyed like pipeline._cache_path but on the
+    # variable-length knobs.
+    cpath = None
+    if max_files is None:
+        key = f"vl_{max_len}_{arc_step}_{max_samples_per_word}_{seed}"
+        digest = hashlib.md5(key.encode()).hexdigest()[:8]
+        p = Path(zip_path)
+        cpath = p.parent / f".cache_{p.stem}_{digest}.pkl"
+        if cpath.exists():
+            say(f"Loading preprocessed variable-length data from cache: {cpath}")
+            with open(cpath, "rb") as f:
+                return pickle.load(f), {}
+
     from .native import parse_log_file_native
 
     def parse(content: str):
@@ -165,6 +183,11 @@ def load_variable_dataset_from_zip(
     for word, items in by_word.items():
         if len(items) > max_samples_per_word:
             by_word[word] = random.sample(items, max_samples_per_word)
+
+    if cpath is not None:
+        say(f"Saving preprocessed variable-length data to cache: {cpath}")
+        with open(cpath, "wb") as f:
+            pickle.dump(by_word, f, protocol=pickle.HIGHEST_PROTOCOL)
     return by_word, {}
 
 
