@@ -120,19 +120,21 @@ def generator_apply(
 
         return transformer_generator_apply(params, prototype, z, config)
 
-    L = prototype.shape[1]
     proto = prototype if config.prototype_has_time else prototype[:, :, :2]
-    z_seq = jnp.broadcast_to(z[:, None, :], (z.shape[0], L, z.shape[1]))
-    h = jnp.concatenate([proto, z_seq], axis=-1)
     dtype = _compute_dtype(config)
     lstm = params["lstm"]
+    zc = z
     if dtype != jnp.float32:
         # bf16 recurrence: halves the HBM traffic of the scan's carried state
         # and gate activations; the fp32 output head + tanh restore a
         # full-precision gesture for the losses/critics.
-        h = h.astype(dtype)
+        proto = proto.astype(dtype)
+        zc = zc.astype(dtype)
         lstm = cast_floats(lstm, dtype)
-    h = bilstm_apply(lstm, h, config.gen_hidden_dim)
+    # z is time-constant: instead of broadcasting it along L into the scanned
+    # stream (reference models.py:154-157), it enters layer 1 as a static
+    # input projected once — w_ih rows stay ordered [proto | z].
+    h = bilstm_apply(lstm, proto, config.gen_hidden_dim, static=zc)
     h = h.astype(jnp.float32)
     return jnp.tanh(dense(params["out"], h))
 

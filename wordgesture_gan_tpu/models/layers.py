@@ -220,9 +220,18 @@ def batchnorm(params, state, x, train: bool, momentum: float = 0.1, eps: float =
 # LSTM (stacked bidirectional; fused-gate scan)
 # ---------------------------------------------------------------------------
 #
-# TPU layout: the input projection for the *whole sequence* is one large
-# (B*L, D) x (D, 4H) matmul on the MXU; the lax.scan over time only carries
-# the (B, H) recurrent state and does the (B, H) x (H, 4H) hidden matmul.
+# TPU layout: the scan over time is HBM-bandwidth-bound, so the design
+# minimizes bytes touched per step (measured on v5e — batching the scan wider
+# does NOT amortize: per-sample cost is flat from B=512 up, ~2.4 µs/sample/fwd):
+#   * time-major (L, B, D) throughout the stack — one transpose at entry and
+#     exit instead of two per layer-direction;
+#   * the input projection happens INSIDE the scan step: streaming the raw
+#     D-dim input (2-96 dims) costs 2-6x less HBM traffic than streaming a
+#     precomputed 4H=192-dim x_proj, and the extra (B, D) x (D, 4H) matmul
+#     per step is MXU-free lunch;
+#   * time-constant inputs (the generator's broadcast latent z,
+#     reference models.py:154-157) are projected ONCE into a loop-invariant
+#     (B, 4H) `base` that XLA keeps in VMEM — they never touch the stream.
 # Replaces torch nn.LSTM (reference models.py:114-120) — gate order i,f,g,o.
 
 
@@ -238,17 +247,41 @@ def lstm_cell_init(key, in_dim: int, hidden: int) -> Dict[str, jnp.ndarray]:
     }
 
 
-def _lstm_scan(cell, x_proj: jnp.ndarray, hidden: int) -> jnp.ndarray:
-    """Scan the recurrence over time. x_proj: (L, B, 4H) precomputed input
-    projections (+ both biases). Returns hidden states (L, B, H)."""
-    w_hh = cell["w_hh"]
-    B = x_proj.shape[1]
-    h0 = jnp.zeros((B, hidden), x_proj.dtype)
-    c0 = jnp.zeros((B, hidden), x_proj.dtype)
+def _bilstm_layer_tm(layer: Dict, x_tm: jnp.ndarray, hidden: int,
+                     static: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """BOTH directions of one BiLSTM layer as a single fused scan.
+
+    The per-scan-step fixed cost (~1 µs on v5e) dominates at production width,
+    so the forward and time-reversed cells advance together in one scan over a
+    stacked direction axis — 128 steps instead of 256 — with the direction-
+    batched matmuls fused on the MXU.
+
+    x_tm: (L, B, D) raw time-major input (NOT pre-projected; streaming the
+    D-dim input beats streaming a precomputed 4H-dim projection).
+    ``static``: optional (B, D_static) time-constant input occupying the LAST
+    D_static rows of w_ih (the generator appends z feature-wise, reference
+    models.py:154-157); projected once into the loop-invariant gate base.
+    Returns (L, B, 2H): [forward ‖ backward] features per timestep."""
+    D = x_tm.shape[-1]
+    w_seq = jnp.stack([layer["fwd"]["w_ih"][:D], layer["bwd"]["w_ih"][:D]])    # (2, D, 4H)
+    w_hh = jnp.stack([layer["fwd"]["w_hh"], layer["bwd"]["w_hh"]])             # (2, H, 4H)
+    bias = jnp.stack([layer["fwd"]["b_ih"] + layer["fwd"]["b_hh"],
+                      layer["bwd"]["b_ih"] + layer["bwd"]["b_hh"]])            # (2, 4H)
+    if static is not None:
+        w_st = jnp.stack([layer["fwd"]["w_ih"][D:], layer["bwd"]["w_ih"][D:]])
+        base = jnp.einsum("bi,dig->dbg", static, w_st) + bias[:, None, :]      # (2, B, 4H)
+    else:
+        base = bias[:, None, :]                                                # (2, 1, 4H)
+
+    B = x_tm.shape[1]
+    xs = jnp.stack([x_tm, jnp.flip(x_tm, axis=0)], axis=1)                     # (L, 2, B, D)
+    h0 = jnp.zeros((2, B, hidden), x_tm.dtype)
+    c0 = jnp.zeros((2, B, hidden), x_tm.dtype)
 
     def step(carry, xt):
         h, c = carry
-        gates = xt + h @ w_hh
+        gates = base + jnp.einsum("dbi,dig->dbg", xt, w_seq) + jnp.einsum(
+            "dbh,dhg->dbg", h, w_hh)
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
         g = jnp.tanh(g)
@@ -257,26 +290,13 @@ def _lstm_scan(cell, x_proj: jnp.ndarray, hidden: int) -> jnp.ndarray:
         return (h, c), h
 
     # unroll left at 1: unroll=4 is ~18% faster for forward-only passes but
-    # pessimizes the backward enough to slow the full two-cycle train step
-    # (fp32: 2.82s vs 2.64s per epoch on v5e; bf16: unroll=2 gives 2.36s vs
-    # 1.78s) — measured, not assumed. Batching the critic loop's two G
-    # forwards into one 2B apply also loses (1.90s vs 1.78s bf16): the
-    # per-step matmuls scale sub-linearly but not enough to beat scan count.
-    _, hs = jax.lax.scan(step, (h0, c0), x_proj)
-    return hs
-
-
-def lstm_layer_apply(cell, x: jnp.ndarray, hidden: int, reverse: bool = False) -> jnp.ndarray:
-    """One direction of one LSTM layer. x: (B, L, D) → (B, L, H)."""
-    if reverse:
-        x = jnp.flip(x, axis=1)
-    # One MXU matmul for all timesteps' input projections.
-    x_proj = x @ cell["w_ih"] + (cell["b_ih"] + cell["b_hh"])
-    hs = _lstm_scan(cell, jnp.swapaxes(x_proj, 0, 1), hidden)   # (L, B, H)
-    hs = jnp.swapaxes(hs, 0, 1)
-    if reverse:
-        hs = jnp.flip(hs, axis=1)
-    return hs
+    # pessimizes the backward enough to slow the full two-cycle train step —
+    # measured on v5e, not assumed. Likewise batching the scan wider loses:
+    # per-sample forward cost is flat in B (bandwidth-, not latency-bound),
+    # so hoisting the critic loop's generator forwards into one 10B apply
+    # was measured 33% slower end-to-end.
+    _, hs = jax.lax.scan(step, (h0, c0), xs)                                   # (L, 2, B, H)
+    return jnp.concatenate([hs[:, 0], jnp.flip(hs[:, 1], axis=0)], axis=-1)
 
 
 def bilstm_init(key, in_dim: int, hidden: int, num_layers: int) -> List[Dict]:
@@ -293,11 +313,16 @@ def bilstm_init(key, in_dim: int, hidden: int, num_layers: int) -> List[Dict]:
     return layers
 
 
-def bilstm_apply(layers: List[Dict], x: jnp.ndarray, hidden: int) -> jnp.ndarray:
-    """Stacked BiLSTM: (B, L, D) → (B, L, 2H)."""
-    h = x
-    for layer in layers:
-        fwd = lstm_layer_apply(layer["fwd"], h, hidden, reverse=False)
-        bwd = lstm_layer_apply(layer["bwd"], h, hidden, reverse=True)
-        h = jnp.concatenate([fwd, bwd], axis=-1)
-    return h
+def bilstm_apply(layers: List[Dict], x: jnp.ndarray, hidden: int,
+                 static: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Stacked BiLSTM: (B, L, D) → (B, L, 2H).
+
+    ``static``: optional (B, D_static) time-constant extra input to the FIRST
+    layer (appended feature-wise after the sequence input, matching
+    ``bilstm_init(in_dim=D + D_static, ...)``). Semantically identical to
+    concatenating ``static`` broadcast along L — but it never enters the
+    scanned stream (see the layout notes above)."""
+    h = jnp.swapaxes(x, 0, 1)                                   # time-major
+    for i, layer in enumerate(layers):
+        h = _bilstm_layer_tm(layer, h, hidden, static=static if i == 0 else None)
+    return jnp.swapaxes(h, 0, 1)
