@@ -34,7 +34,7 @@ DTW_PAIRS = 4096                    # DTW micro-bench size (2000×2000 eval tile
 def bench_train(jax, jnp, np):
     from wordgesture_gan_tpu.configs import ModelConfig, TrainingConfig
     from wordgesture_gan_tpu.parallel.mesh import batch_sharding, create_mesh, packed_replicate, replicate
-    from wordgesture_gan_tpu.train.gan_step import gan_train_epoch, make_epoch_batches
+    from wordgesture_gan_tpu.train.gan_step import gan_train_step, make_epoch_batches
     from wordgesture_gan_tpu.train.state import init_gan_state
 
     model_config = ModelConfig(compute_dtype="bfloat16")
@@ -54,9 +54,13 @@ def bench_train(jax, jnp, np):
     p_dev = replicate(mesh, jnp.asarray(prototypes))
     state = packed_replicate(mesh, init_gan_state(0, model_config, training_config))
 
+    # Production epoch strategy (RuntimeConfig.scan_epoch=False): a host loop
+    # of per-batch jitted steps — measured faster than the scanned epoch on
+    # v5e (XLA schedules the isolated step better) — with the critic loop's
+    # inference-only generator forwards on the fused Pallas BiLSTM kernel.
     batch_shard = batch_sharding(mesh, batch_axis=1)
-    epoch_fn = jax.jit(
-        lambda s, eb, lr: gan_train_epoch(s, eb, lr, model_config, training_config),
+    step_fn = jax.jit(
+        lambda s, b, lr: gan_train_step(s, b, lr, model_config, training_config),
         donate_argnums=(0,),
     )
 
@@ -67,10 +71,13 @@ def bench_train(jax, jnp, np):
         key = jax.random.fold_in(jax.random.PRNGKey(1), epoch)
         eb = make_epoch_batches(key, g_dev, p_dev, BATCH_SIZE)
         eb = jax.device_put(eb, jax.tree.map(lambda _: batch_shard, eb))
-        state, traces = epoch_fn(state, eb, lr)
+        m = None
+        for i in range(eb["gesture"].shape[0]):
+            state, m = step_fn(state, {"gesture": eb["gesture"][i],
+                                       "prototype": eb["prototype"][i]}, lr)
         # Force full materialization — on experimental PJRT backends
         # block_until_ready alone has been observed to return early.
-        float(np.mean(np.asarray(traces["d1_loss"])))
+        float(np.mean(np.asarray(m["d1_loss"])))
         return state
 
     for e in range(WARMUP_EPOCHS):

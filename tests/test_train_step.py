@@ -98,6 +98,37 @@ def test_epoch_scan(state):
     assert np.isfinite(np.asarray(traces["cycle2_total"])).all()
 
 
+def test_per_step_loop_matches_epoch_scan(state):
+    """The production epoch strategy (RuntimeConfig.scan_epoch=False: host
+    loop of jitted steps) must match the scanned epoch — same step function,
+    same RNG threading, different dispatch. XLA compiles the scan body
+    slightly differently from the isolated step (fusion reorders float
+    sums), so equality is up to last-ulp noise, not bitwise."""
+    n, bsz = 24, 8
+    k = jax.random.PRNGKey(7)
+    g = jax.random.uniform(k, (n, MCFG.seq_length, 3), minval=-1, maxval=1)
+    p = jax.random.uniform(k, (n, MCFG.seq_length, 3), minval=-1, maxval=1)
+    batches = make_epoch_batches(jax.random.PRNGKey(1), g, p, bsz)
+
+    epoch = jax.jit(lambda s, eb, lr: gan_train_epoch(s, eb, lr, MCFG, TCFG))
+    scanned_state, scanned_traces = epoch(state, batches, jnp.float32(2e-4))
+
+    step = jax.jit(lambda s, b, lr: gan_train_step(s, b, lr, MCFG, TCFG))
+    s = state
+    traces = []
+    for i in range(batches["gesture"].shape[0]):
+        s, m = step(s, {"gesture": batches["gesture"][i],
+                        "prototype": batches["prototype"][i]}, jnp.float32(2e-4))
+        traces.append(m)
+
+    for a, b in zip(jax.tree.leaves(scanned_state), jax.tree.leaves(dict(s, epoch=s["epoch"] + 1))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-4)
+    for k_ in scanned_traces:
+        np.testing.assert_allclose(
+            np.asarray(scanned_traces[k_]),
+            np.asarray(jnp.stack([m[k_] for m in traces])), atol=1e-5, rtol=1e-4)
+
+
 def test_training_reduces_reconstruction(state, batch):
     """A few steps of the full two-cycle should reduce cycle-2 reconstruction
     (the strongest-weighted term, λ_rec=4)."""

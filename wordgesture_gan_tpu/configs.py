@@ -188,6 +188,15 @@ class RuntimeConfig:
     # ModelConfig.compute_dtype, which the apply functions consult.
     precision: str = "float32"
 
+    # Epoch strategy: False (default) runs a host loop of per-batch jitted
+    # steps; True fuses the whole epoch into one lax.scan program. Measured on
+    # v5e (58 × B=512 batches, bf16): per-step 20.3 ms/batch vs scanned
+    # 23.1 ms/batch — XLA schedules the isolated step better than the same
+    # step as a scan body, and the host dispatch is fully pipelined. The scan
+    # path remains for multi-chip runs where one program per epoch minimizes
+    # dispatch over DCN, and is what the multichip dryrun exercises.
+    scan_epoch: bool = False
+
 
 DEFAULT_MODEL_CONFIG = ModelConfig()
 DEFAULT_TRAINING_CONFIG = TrainingConfig()

@@ -104,13 +104,21 @@ def generator_init(key, config: ModelConfig = DEFAULT_MODEL_CONFIG) -> Dict:
 def generator_apply(
     params, prototype: jnp.ndarray, z: jnp.ndarray,
     config: ModelConfig = DEFAULT_MODEL_CONFIG,
+    *, inference: bool = False,
 ) -> jnp.ndarray:
     """(prototype (B, L, 3), z (B, Z)) → gesture (B, L, 3).
 
     The latent code is broadcast along the sequence and concatenated with the
     (x, y)-only prototype (time channel withheld when prototype_has_time is
     False — the generator must learn timing from curvature,
-    reference models.py:147-157)."""
+    reference models.py:147-157).
+
+    ``inference=True`` marks a forward that is never differentiated (the
+    critic loop's fakes — stop_gradient'd, 10 of the 12 generator
+    applications per train step — and eval-time sampling). On a single TPU
+    device the BiLSTM stack then runs as one fused Pallas program
+    (ops/bilstm_fused.py: 0.52 ms vs 0.79 ms XLA scan at B=512 on v5e);
+    everywhere else the flag is a no-op."""
     if config.generator_type == "mlp":
         from .generators import mlp_generator_apply
 
@@ -122,6 +130,15 @@ def generator_apply(
 
     proto = prototype if config.prototype_has_time else prototype[:, :, :2]
     dtype = _compute_dtype(config)
+
+    if inference and proto.shape[-1] == 2:
+        from ..ops.bilstm_fused import fused_bilstm_available, fused_bilstm_fwd
+
+        if fused_bilstm_available() and len(jax.devices()) == 1:
+            h = fused_bilstm_fwd(params["lstm"], proto, config.gen_hidden_dim,
+                                 z, dtype=dtype)
+            return jnp.tanh(dense(params["out"], h.astype(jnp.float32)))
+
     lstm = params["lstm"]
     zc = z
     if dtype != jnp.float32:

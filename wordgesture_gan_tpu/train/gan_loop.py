@@ -32,7 +32,7 @@ from ..parallel.mesh import batch_sharding, create_mesh, packed_replicate, repli
 from ..utils.logging import log
 from ..utils.profiling import Throughput
 from .checkpoint import restore_checkpoint, save_checkpoint
-from .gan_step import gan_train_epoch, make_epoch_batches
+from .gan_step import gan_train_epoch, gan_train_step, make_epoch_batches
 from .schedules import cosine_annealing_lr
 from .state import init_gan_state
 
@@ -94,10 +94,31 @@ def train_gan(
 
     batch_shard = batch_sharding(mesh, batch_axis=1)   # (n_batches, B, ...)
 
-    epoch_fn = jax.jit(
-        lambda s, eb, lr: gan_train_epoch(s, eb, lr, model_config, training_config),
-        donate_argnums=(0,) if runtime_config.donate_state else (),
-    )
+    donate = (0,) if runtime_config.donate_state else ()
+    if runtime_config.scan_epoch:
+        epoch_fn = jax.jit(
+            lambda s, eb, lr: gan_train_epoch(s, eb, lr, model_config, training_config),
+            donate_argnums=donate,
+        )
+    else:
+        # Host loop of per-batch jitted steps (see RuntimeConfig.scan_epoch):
+        # same step function, dispatched per batch; metric stacking happens
+        # on host at epoch end.
+        step_fn = jax.jit(
+            lambda s, b, lr: gan_train_step(s, b, lr, model_config, training_config),
+            donate_argnums=donate,
+        )
+
+        def epoch_fn(s, eb, lr):
+            n = eb["gesture"].shape[0]
+            traces = []
+            for i in range(n):
+                s, m = step_fn(s, {"gesture": eb["gesture"][i],
+                                   "prototype": eb["prototype"][i]}, lr)
+                traces.append(m)
+            s = dict(s)
+            s["epoch"] = s["epoch"] + 1
+            return s, {k: jnp.stack([m[k] for m in traces]) for k in traces[0]}
 
     throughput = Throughput(n_chips=n_shards)
     history: List[Dict[str, float]] = []
@@ -163,7 +184,8 @@ def _generator_jit(model_config: ModelConfig):
     """One jitted generator forward per model config — a fresh jit(lambda)
     per call would recompile every invocation (configs are frozen/hashable,
     so they key the cache)."""
-    return jax.jit(lambda gp, p, z: generator_apply(gp, p, z, model_config))
+    return jax.jit(lambda gp, p, z: generator_apply(gp, p, z, model_config,
+                                                    inference=True))
 
 
 @functools.partial(jax.jit, static_argnames=("model_config", "batch", "n_chunks"))
@@ -178,7 +200,8 @@ def _generate_scanned(g_params, protos_padded, key, truncation,
         c, proto = xs
         z = jax.random.normal(jax.random.fold_in(key, c),
                               (batch, model_config.latent_dim)) * truncation
-        return None, generator_apply(g_params, proto, z, model_config)
+        return None, generator_apply(g_params, proto, z, model_config,
+                                     inference=True)
 
     _, out = jax.lax.scan(body, None, (jnp.arange(n_chunks, dtype=jnp.int32), protos))
     return out.reshape(n_chunks * batch, *out.shape[2:])

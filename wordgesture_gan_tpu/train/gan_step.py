@@ -81,14 +81,16 @@ def gan_train_step(
         d1, d2, rng, _, _ = carry
         rng, kz, ke = jax.random.split(rng, 3)
 
-        # D1 trains against G(proto, z_rand)
+        # D1 trains against G(proto, z_rand). These generator forwards are
+        # stop_gradient'd (critics never backprop into G) — inference=True
+        # routes them through the fused Pallas BiLSTM kernel on TPU.
         z_rand = jax.random.normal(kz, (B, Z))
-        fake1 = generator_apply(g_params, proto, z_rand, model_config)
+        fake1 = generator_apply(g_params, proto, z_rand, model_config, inference=True)
         d1, d1_loss = _critic_update(d1, real, fake1, tx, lr, model_config)
 
         # D2 trains against G(proto, E(real).z)
         z_enc, _, _ = encoder_apply(e_params, real, ke, model_config)
-        fake2 = generator_apply(g_params, proto, z_enc, model_config)
+        fake2 = generator_apply(g_params, proto, z_enc, model_config, inference=True)
         d2, d2_loss = _critic_update(d2, real, fake2, tx, lr, model_config)
 
         return (d1, d2, rng, d1_loss, d2_loss)
