@@ -77,28 +77,43 @@ def gan_train_step(
     e_params = state["e"]["params"]
 
     # ----- critic inner loop (reference utils.py:68-109) -----
-    def critic_iter(i, carry):
-        d1, d2, rng, _, _ = carry
+    # G and E are FROZEN during the loop (only the critics update), so every
+    # latent draw is hoisted: the per-iteration key splits are pre-unrolled
+    # (identical RNG stream to splitting inside the loop) and the encoder
+    # runs ONCE — it has no stochastic layers, so mu/log_var are
+    # iteration-invariant (the reference recomputes the same forward under
+    # no_grad each iteration, utils.py:90-109) with a fresh
+    # reparameterization eps per iteration. The generator forwards stay
+    # in-loop: they are throughput-bound on this hardware (lane-tiling all
+    # 2×n_critic draws into one fused launch measured 5.6 ms vs 5.3 ms for
+    # sequential launches — no amortization to win), but each one runs the
+    # fused Pallas BiLSTM kernel via inference=True.
+    n_c = training_config.n_critic
+    zkeys, ekeys = [], []
+    for _ in range(n_c):
         rng, kz, ke = jax.random.split(rng, 3)
-
-        # D1 trains against G(proto, z_rand). These generator forwards are
-        # stop_gradient'd (critics never backprop into G) — inference=True
-        # routes them through the fused Pallas BiLSTM kernel on TPU.
-        z_rand = jax.random.normal(kz, (B, Z))
-        fake1 = generator_apply(g_params, proto, z_rand, model_config, inference=True)
-        d1, d1_loss = _critic_update(d1, real, fake1, tx, lr, model_config)
-
-        # D2 trains against G(proto, E(real).z)
-        z_enc, _, _ = encoder_apply(e_params, real, ke, model_config)
-        fake2 = generator_apply(g_params, proto, z_enc, model_config, inference=True)
-        d2, d2_loss = _critic_update(d2, real, fake2, tx, lr, model_config)
-
-        return (d1, d2, rng, d1_loss, d2_loss)
-
-    carry0 = (state["d1"], state["d2"], rng, jnp.float32(0), jnp.float32(0))
-    d1, d2, rng, d1_loss, d2_loss = jax.lax.fori_loop(
-        0, training_config.n_critic, critic_iter, carry0
+        zkeys.append(kz)
+        ekeys.append(ke)
+    z_rands = jnp.stack([jax.random.normal(k, (B, Z)) for k in zkeys])
+    _, mu_c, log_var_c = encoder_apply(e_params, real, ekeys[0], model_config)
+    sigma_c = jnp.exp(0.5 * log_var_c)
+    z_encs = jnp.stack(
+        [mu_c + jax.random.normal(k, mu_c.shape) * sigma_c for k in ekeys]
     )
+
+    def critic_iter(i, carry):
+        d1, d2, _, _ = carry
+        z1 = jax.lax.dynamic_index_in_dim(z_rands, i, keepdims=False)
+        z2 = jax.lax.dynamic_index_in_dim(z_encs, i, keepdims=False)
+        # D1 trains against G(proto, z_rand); D2 against G(proto, E(real).z).
+        fake1 = generator_apply(g_params, proto, z1, model_config, inference=True)
+        fake2 = generator_apply(g_params, proto, z2, model_config, inference=True)
+        d1, d1_loss = _critic_update(d1, real, fake1, tx, lr, model_config)
+        d2, d2_loss = _critic_update(d2, real, fake2, tx, lr, model_config)
+        return (d1, d2, d1_loss, d2_loss)
+
+    carry0 = (state["d1"], state["d2"], jnp.float32(0), jnp.float32(0))
+    d1, d2, d1_loss, d2_loss = jax.lax.fori_loop(0, n_c, critic_iter, carry0)
 
     # ----- joint G+E step (reference utils.py:111-135, trainer.py:84-193) -----
     rng, kz1, ke1, ke2 = jax.random.split(rng, 4)
