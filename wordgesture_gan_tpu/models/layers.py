@@ -289,13 +289,16 @@ def _bilstm_layer_tm(layer: Dict, x_tm: jnp.ndarray, hidden: int,
         h = o * jnp.tanh(c)
         return (h, c), h
 
-    # unroll left at 1: unroll=4 is ~18% faster for forward-only passes but
-    # pessimizes the backward enough to slow the full two-cycle train step —
-    # measured on v5e, not assumed. Likewise batching the scan wider loses:
-    # per-sample forward cost is flat in B (bandwidth-, not latency-bound),
-    # so hoisting the critic loop's generator forwards into one 10B apply
-    # was measured 33% slower end-to-end.
-    _, hs = jax.lax.scan(step, (h0, c0), xs)                                   # (L, 2, B, H)
+    # Full remat on the step: the scan VJP is residual-bandwidth-bound —
+    # storing every gate activation per step costs more HBM traffic in the
+    # backward than recomputing the gates from the stored (h, c) carry.
+    # Measured on v5e (B=512, bf16, all-leaf grads forced): fwd+bwd
+    # 5.43 ms → 3.51 ms. dots_saveable is WORSE (5.96 ms — it stores the
+    # matmul outputs, which are the bulk of the traffic), and scan unroll
+    # 2/4/8 all lose (7.3/6.0/7.2 ms vs 5.3 at unroll=1). Forward-only
+    # passes are unaffected (checkpoint is an identity without
+    # differentiation).
+    _, hs = jax.lax.scan(jax.checkpoint(step), (h0, c0), xs)                   # (L, 2, B, H)
     return jnp.concatenate([hs[:, 0], jnp.flip(hs[:, 1], axis=0)], axis=-1)
 
 
