@@ -202,36 +202,25 @@ def _fused_call(proto_t, base1, wseq1, whh, wseq, bias, hidden: int,
     return hs[num_layers - 1]                             # (L, 2H, B)
 
 
-def fused_bilstm_fwd(layers: List[Dict], x: jnp.ndarray, hidden: int,
-                     static: jnp.ndarray, dtype=jnp.bfloat16,
-                     interpret: bool = False) -> jnp.ndarray:
-    """Inference-only fused BiLSTM stack: (B, L, 2) + static (B, Dz) → (B, L, 2H).
-
-    Same math as ``models.layers.bilstm_apply(layers, x, hidden, static=...)``
-    (gate order i,f,g,o; zero initial state; w_ih rows ordered [seq | static])
-    with float32 gate nonlinearities. Batch is padded to a lane multiple."""
-    B, L, D = x.shape
-    assert D == 2, "fused kernel supports the generator's (x, y) prototype input"
-    dtype = jnp.dtype(dtype)
-
-    pad = (-B) % _LANE
-    if pad:
-        x = jnp.concatenate([x, jnp.zeros((pad, L, D), x.dtype)], axis=0)
-        static = jnp.concatenate(
-            [static, jnp.zeros((pad, static.shape[1]), static.dtype)], axis=0)
-    Bp = B + pad
-
-    # (L, 16, Bp): time leading (dynamically indexable), coords in
-    # sublane-padded rows 0-1 (Mosaic needs static sublane offsets).
+def _prep_proto(x: jnp.ndarray, dtype) -> jnp.ndarray:
+    """(Bp, L, 2) → (L, 16, Bp): time leading (dynamically indexable), coords
+    in sublane-padded rows 0-1 (Mosaic needs static sublane offsets)."""
     proto_t = jnp.transpose(x, (1, 2, 0))                        # (L, 2, Bp)
-    proto_t = jnp.pad(proto_t, ((0, 0), (0, 14), (0, 0))).astype(dtype)
-    # Static-z gate base per direction, feature-major: (2, 4H, Bp), fp32.
+    return jnp.pad(proto_t, ((0, 0), (0, 14), (0, 0))).astype(dtype)
+
+
+def _prep_base1(layers: List[Dict], static: jnp.ndarray, base_dtype) -> jnp.ndarray:
+    """Static-z gate base per direction, feature-major: (2, 4H, Bp)."""
     l0 = layers[0]
-    base1 = jnp.stack([
+    return jnp.stack([
         (static @ l0["fwd"]["w_ih"][2:] + l0["fwd"]["b_ih"] + l0["fwd"]["b_hh"]).T,
         (static @ l0["bwd"]["w_ih"][2:] + l0["bwd"]["b_ih"] + l0["bwd"]["b_hh"]).T,
-    ]).astype(jnp.float32)
+    ]).astype(base_dtype)
 
+
+def _prep_weights(layers: List[Dict], hidden: int, dtype):
+    """(wseq1, whh, wseq, bias) in kernel (feature-major) layout."""
+    l0 = layers[0]
     wseq1 = jnp.stack([l0["fwd"]["w_ih"][:2], l0["bwd"]["w_ih"][:2]]).astype(dtype)
     # -> (2 dirs, 2 coords, 4H)
     whh = jnp.stack([
@@ -250,6 +239,30 @@ def fused_bilstm_fwd(layers: List[Dict], x: jnp.ndarray, hidden: int,
         # interpreter's block-shape math, so pass a 1-size dummy instead.
         wseq = jnp.zeros((1, 2, 4 * hidden, 2 * hidden), dtype)
         bias = jnp.zeros((1, 2, 4 * hidden, 1), jnp.float32)
+    return wseq1, whh, wseq, bias
+
+
+def fused_bilstm_fwd(layers: List[Dict], x: jnp.ndarray, hidden: int,
+                     static: jnp.ndarray, dtype=jnp.bfloat16,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Inference-only fused BiLSTM stack: (B, L, 2) + static (B, Dz) → (B, L, 2H).
+
+    Same math as ``models.layers.bilstm_apply(layers, x, hidden, static=...)``
+    (gate order i,f,g,o; zero initial state; w_ih rows ordered [seq | static])
+    with float32 gate nonlinearities. Batch is padded to a lane multiple."""
+    B, L, D = x.shape
+    assert D == 2, "fused kernel supports the generator's (x, y) prototype input"
+    dtype = jnp.dtype(dtype)
+
+    pad = (-B) % _LANE
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad, L, D), x.dtype)], axis=0)
+        static = jnp.concatenate(
+            [static, jnp.zeros((pad, static.shape[1]), static.dtype)], axis=0)
+
+    proto_t = _prep_proto(x, dtype)
+    base1 = _prep_base1(layers, static, jnp.float32)
+    wseq1, whh, wseq, bias = _prep_weights(layers, hidden, dtype)
 
     h_last = _fused_call(proto_t, base1, wseq1, whh, wseq, bias,
                          hidden=hidden, interpret=interpret)     # (L, 2H, Bp)
