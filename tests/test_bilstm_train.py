@@ -29,21 +29,22 @@ def test_train_forward_matches_scan(num_layers):
 
 @pytest.mark.parametrize("num_layers", [1, 2, 4])
 def test_train_grads_match_scan(num_layers):
-    """Every weight gradient, the bias gradients, and the static-z gradient
-    must match jax.grad of the XLA scan."""
+    """Every weight gradient, the bias gradients, the static-z gradient, AND
+    the sequence-input (prototype) gradient must match jax.grad of the XLA
+    scan."""
     layers, x, z, H = _setup(num_layers)
     rng = np.random.default_rng(9)
     dy = jnp.asarray(rng.normal(size=(x.shape[0], x.shape[1], 2 * H)), jnp.float32)
 
-    def loss_ref(layers, z):
+    def loss_ref(layers, x, z):
         return jnp.sum(bilstm_apply(layers, x, H, static=z) * dy)
 
-    def loss_fused(layers, z):
+    def loss_fused(layers, x, z):
         return jnp.sum(
             bilstm_train_apply(layers, x, z, H, dtype=jnp.float32, interpret=True) * dy)
 
-    gr = jax.grad(loss_ref, argnums=(0, 1))(layers, z)
-    gf = jax.grad(loss_fused, argnums=(0, 1))(layers, z)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(layers, x, z)
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(layers, x, z)
     for a, b in zip(jax.tree.leaves(gr), jax.tree.leaves(gf)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-5)
 

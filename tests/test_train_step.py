@@ -129,6 +129,47 @@ def test_per_step_loop_matches_epoch_scan(state):
             np.asarray(jnp.stack([m[k_] for m in traces])), atol=1e-5, rtol=1e-4)
 
 
+def test_n_critic_zero_skips_critics(state, batch):
+    """n_critic=0 ablation: critics untouched, G/E still update (the
+    reference's range(0) loop is simply skipped)."""
+    tcfg = TrainingConfig(batch_size=8, n_critic=0)
+    step = jax.jit(lambda s, b, lr: gan_train_step(s, b, lr, MCFG, tcfg))
+    new_state, metrics = step(state, batch, jnp.float32(2e-4))
+    for model in ("d1", "d2"):
+        for a, b in zip(jax.tree.leaves(state[model]["params"]),
+                        jax.tree.leaves(new_state[model]["params"])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert float(metrics["d1_loss"]) == 0.0
+    changed = sum(not np.allclose(a, b) for a, b in zip(
+        jax.tree.leaves(state["g"]["params"]),
+        jax.tree.leaves(new_state["g"]["params"])))
+    assert changed > 0
+
+
+def test_zero_batch_epoch_is_noop():
+    """A dataset smaller than batch_size yields a 0-batch epoch: both epoch
+    strategies must no-op with empty traces (torch drop_last semantics)."""
+    from wordgesture_gan_tpu.configs import RuntimeConfig
+    from wordgesture_gan_tpu.data.pipeline import GestureArrays
+    from wordgesture_gan_tpu.train.gan_loop import train_gan
+
+    n = 4  # < batch_size=8
+    k = jax.random.PRNGKey(3)
+    ds = GestureArrays(
+        gestures=np.asarray(jax.random.uniform(k, (n, MCFG.seq_length, 3),
+                                               minval=-1, maxval=1)),
+        prototypes=np.asarray(jax.random.uniform(k, (n, MCFG.seq_length, 3),
+                                                 minval=-1, maxval=1)),
+        words=["ab"] * n,
+    )
+    for scan_epoch in (False, True):
+        result = train_gan(
+            ds, model_config=MCFG, training_config=TCFG,
+            runtime_config=RuntimeConfig(scan_epoch=scan_epoch),
+            num_epochs=1, verbose=False)
+        assert len(result.history) == 1
+
+
 def test_training_reduces_reconstruction(state, batch):
     """A few steps of the full two-cycle should reduce cycle-2 reconstruction
     (the strongest-weighted term, λ_rec=4)."""

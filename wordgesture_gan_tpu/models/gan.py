@@ -132,23 +132,23 @@ def generator_apply(
     dtype = _compute_dtype(config)
 
     if proto.shape[-1] == 2:
-        if inference:
-            from ..ops.bilstm_fused import fused_bilstm_available, fused_bilstm_fwd
+        from ..ops.bilstm_fused import fused_single_device
 
-            if fused_bilstm_available() and len(jax.devices()) == 1:
+        if fused_single_device():
+            if inference:
+                from ..ops.bilstm_fused import fused_bilstm_fwd
+
                 h = fused_bilstm_fwd(params["lstm"], proto, config.gen_hidden_dim,
                                      z, dtype=dtype)
-                return jnp.tanh(dense(params["out"], h.astype(jnp.float32)))
-        else:
-            # Differentiated path: fused Pallas forward+backward-through-time
-            # (ops/bilstm_train.py) — the custom_vjp replaces the XLA scan
-            # VJP (2.4 ms vs 3.2 ms fwd+bwd at B=512 bf16 on v5e).
-            from ..ops.bilstm_train import bilstm_train_apply, fused_train_available
+            else:
+                # Differentiated path: fused Pallas forward+backward-through-
+                # time (ops/bilstm_train.py) — the custom_vjp replaces the
+                # XLA scan VJP (2.4 ms vs 3.2 ms fwd+bwd at B=512 bf16 on v5e).
+                from ..ops.bilstm_train import bilstm_train_apply
 
-            if fused_train_available():
                 h = bilstm_train_apply(params["lstm"], proto, z,
                                        config.gen_hidden_dim, dtype=dtype)
-                return jnp.tanh(dense(params["out"], h.astype(jnp.float32)))
+            return jnp.tanh(dense(params["out"], h.astype(jnp.float32)))
 
     lstm = params["lstm"]
     zc = z

@@ -277,3 +277,15 @@ def fused_bilstm_available() -> bool:
         return jax.devices()[0].platform in ("tpu", "axon")
     except Exception:  # pragma: no cover - no backend at all
         return False
+
+
+def fused_single_device() -> bool:
+    """The single shared gate for BOTH fused generator paths (inference and
+    training VJP): an eligible TPU backend AND exactly one device — Pallas
+    custom calls are not auto-partitioned by pjit, so multi-device meshes
+    keep the XLA scan. Keeping one predicate prevents the two paths'
+    eligibility rules from drifting apart."""
+    try:
+        return fused_bilstm_available() and len(jax.devices()) == 1
+    except Exception:  # pragma: no cover
+        return False

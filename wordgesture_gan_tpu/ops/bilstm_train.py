@@ -40,7 +40,13 @@ from typing import Dict, List
 import jax
 import jax.numpy as jnp
 
-from .bilstm_fused import _LANE, _prep_base1, _prep_proto, _prep_weights, fused_bilstm_available
+from .bilstm_fused import (
+    _LANE,
+    _prep_base1,
+    _prep_proto,
+    _prep_weights,
+    fused_single_device,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -59,6 +65,7 @@ def _fwd_kernel(proto_ref, base1_ref, wseq1_ref, whh_ref, wseq_ref, bias_ref,
     H = hidden
     L = seq_len
     B = proto_ref.shape[-1]
+    assert L >= 2
     f32 = jnp.float32
 
     for k in range(num_layers):
@@ -197,10 +204,11 @@ def _fwd_call(proto_t, base1, wseq1, whh, wseq, bias, hidden: int,
 
 
 def _bwd_kernel(res_ref, dy_ref, proto_ref, z_ref, whh_m_ref, wseq_m_ref, wstat_ref,
+                wp_m_ref,
                 dwhh_ref, dwih_ref, dwp_ref, dwz_ref, dbias_ref, dz_ref,
-                dxf_a, dxb_a, dxf_b, dxb_b,
-                res_buf, dyin_buf, xin_buf, dxout_buf, dgsum,
-                res_sem, dyin_sem, xin_sem, dxout_sem,
+                dxf_a, dxb_a, dxf_b, dxb_b, dpf_ref, dpb_ref,
+                res_buf, dyin_buf, xin_buf, dxout_buf, dpout_buf, dgsum,
+                res_sem, dyin_sem, xin_sem, dxout_sem, dpout_sem,
                 *, seq_len: int, hidden: int, num_layers: int, dtype):
     """Reverse sweep. Shapes:
       res_ref  (layers, 2, L, 6H, B)  forward residuals (HBM)
@@ -208,10 +216,13 @@ def _bwd_kernel(res_ref, dy_ref, proto_ref, z_ref, whh_m_ref, wseq_m_ref, wstat_
       whh_m_ref (layers, 2, H, 4H)    model-layout recurrent weights
       wseq_m_ref(layers-1, 2, 2H, 4H) model-layout input weights (layers ≥ 1)
       wstat_ref (2, Dz, 4H)           static-z rows of layer 0's w_ih
+      wp_m_ref  (2, 16, 4H)           prototype rows of layer 0's w_ih (rows
+                                      2:16 zero-padded)
       outputs: dwhh (layers, 2, H, 4H), dwih (layers-1, 2, 2H, 4H),
                dwp (2, 16, 4H), dwz (2, Dz, 4H), dbias (layers, 2, 4H, 1),
-               dz (Dz, B), and 2 ping-pong pairs of (L, 2H, B) input-gradient
-               streams (dxf_*/dxb_* — fwd/bwd-direction contributions).
+               dz (Dz, B), 2 ping-pong pairs of (L, 2H, B) input-gradient
+               streams (dxf_*/dxb_* — fwd/bwd-direction contributions), and
+               the prototype-gradient streams dpf/dpb (L, 16, B).
     """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -219,6 +230,7 @@ def _bwd_kernel(res_ref, dy_ref, proto_ref, z_ref, whh_m_ref, wseq_m_ref, wstat_
     H = hidden
     L = seq_len
     B = res_ref.shape[-1]
+    assert L >= 2
     f32 = jnp.float32
     one = jnp.float32(1.0)
 
@@ -286,6 +298,16 @@ def _bwd_kernel(res_ref, dy_ref, proto_ref, z_ref, whh_m_ref, wseq_m_ref, wstat_
                                       dxout_sem.at[slot, 0]),
                 pltpu.make_async_copy(dxout_buf.at[slot, 1], dxb_w.at[p],
                                       dxout_sem.at[slot, 1]),
+            )
+
+        def copy_dpout(slot, u):
+            # Layer-0 prototype-gradient rows: fwd at t, bwd at p.
+            t, p = pos(0, u), pos(1, u)
+            return (
+                pltpu.make_async_copy(dpout_buf.at[slot, 0], dpf_ref.at[t],
+                                      dpout_sem.at[slot, 0]),
+                pltpu.make_async_copy(dpout_buf.at[slot, 1], dpb_ref.at[p],
+                                      dpout_sem.at[slot, 1]),
             )
 
         # Zero this layer's accumulators.
@@ -415,6 +437,21 @@ def _bwd_kernel(res_ref, dy_ref, proto_ref, z_ref, whh_m_ref, wseq_m_ref, wstat_
                     pt_b, dg_b, (((1,), (1,)), ((), ())),
                     preferred_element_type=f32)
 
+                # Prototype gradient: dx_t = W_proto · dgates, streamed per
+                # direction (rows 2:16 of wp_m are zero → zero rows).
+                @pl.when(u >= 2)
+                def _():
+                    for d in copy_dpout(slot, u - 2):
+                        d.wait()
+                dpout_buf[slot, 0] = jax.lax.dot(
+                    wp_m_ref[0].astype(f32), dg_f,
+                    preferred_element_type=f32).astype(dtype)  # (16, B)
+                dpout_buf[slot, 1] = jax.lax.dot(
+                    wp_m_ref[1].astype(f32), dg_b,
+                    preferred_element_type=f32).astype(dtype)
+                for d in copy_dpout(slot, u):
+                    d.start()
+
             return (dh_f, dc_f, dh_b, dc_b)
 
         z0 = jnp.zeros((H, B), f32)
@@ -423,6 +460,10 @@ def _bwd_kernel(res_ref, dy_ref, proto_ref, z_ref, whh_m_ref, wseq_m_ref, wstat_
         if k > 0:
             for u in (L - 2, L - 1):
                 for d in copy_dxout(jax.lax.rem(u, 2), u):
+                    d.wait()
+        else:
+            for u in (L - 2, L - 1):
+                for d in copy_dpout(jax.lax.rem(u, 2), u):
                     d.wait()
 
         # Layer epilogue: bias gradient (b_ih and b_hh receive the same sum)
@@ -444,7 +485,7 @@ def _bwd_kernel(res_ref, dy_ref, proto_ref, z_ref, whh_m_ref, wseq_m_ref, wstat_
 
 
 @functools.partial(jax.jit, static_argnames=("hidden", "interpret"))
-def _bwd_call(res, dy_t, proto_t, z_t, whh_m, wseq_m, wstat, hidden: int,
+def _bwd_call(res, dy_t, proto_t, z_t, whh_m, wseq_m, wstat, wp_m, hidden: int,
               interpret: bool):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -469,6 +510,8 @@ def _bwd_call(res, dy_t, proto_t, z_t, whh_m, wseq_m, wstat, hidden: int,
             jax.ShapeDtypeStruct((L, 2 * H, B), dtype),                # dxb_a
             jax.ShapeDtypeStruct((L, 2 * H, B), dtype),                # dxf_b
             jax.ShapeDtypeStruct((L, 2 * H, B), dtype),                # dxb_b
+            jax.ShapeDtypeStruct((L, 16, B), dtype),                   # dpf
+            jax.ShapeDtypeStruct((L, 16, B), dtype),                   # dpb
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),       # res
@@ -478,6 +521,7 @@ def _bwd_call(res, dy_t, proto_t, z_t, whh_m, wseq_m, wstat, hidden: int,
             pl.BlockSpec(memory_space=pltpu.VMEM),   # whh_m
             pl.BlockSpec(memory_space=pltpu.VMEM),   # wseq_m
             pl.BlockSpec(memory_space=pltpu.VMEM),   # wstat
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # wp_m
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -490,21 +534,25 @@ def _bwd_call(res, dy_t, proto_t, z_t, whh_m, wseq_m, wstat, hidden: int,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ),
         scratch_shapes=[
             pltpu.VMEM((2, 2, 6 * hidden, B), dtype),     # res_buf
             pltpu.VMEM((2, 2, 2, hidden, B), dtype),      # dyin_buf
             pltpu.VMEM((2, 2, 2 * hidden, B), dtype),     # xin_buf
             pltpu.VMEM((2, 2, 2 * hidden, B), dtype),     # dxout_buf
+            pltpu.VMEM((2, 2, 16, B), dtype),             # dpout_buf
             pltpu.VMEM((2, 4 * hidden, B), f32),          # dgsum
             pltpu.SemaphoreType.DMA((2, 2)),              # res_sem
             pltpu.SemaphoreType.DMA((2, 2, 2)),           # dyin_sem
             pltpu.SemaphoreType.DMA((2, 2, 2)),           # xin_sem
             pltpu.SemaphoreType.DMA((2, 2)),              # dxout_sem
+            pltpu.SemaphoreType.DMA((2, 2)),              # dpout_sem
         ],
         interpret=interpret,
-    )(res, dy_t, proto_t, z_t, whh_m, wseq_m, wstat)
-    return outs[:6]
+    )(res, dy_t, proto_t, z_t, whh_m, wseq_m, wstat, wp_m)
+    return outs[:6] + (outs[10], outs[11])
 
 
 # ---------------------------------------------------------------------------
@@ -513,7 +561,7 @@ def _bwd_call(res, dy_t, proto_t, z_t, whh_m, wseq_m, wstat, hidden: int,
 
 
 def _prep_model_weights(layers: List[Dict], dtype):
-    """Model-layout weights for the backward: (whh_m, wseq_m, wstat)."""
+    """Model-layout weights for the backward: (whh_m, wseq_m, wstat, wp_m)."""
     whh_m = jnp.stack([
         jnp.stack([layer["fwd"]["w_hh"], layer["bwd"]["w_hh"]])
         for layer in layers]).astype(dtype)                   # (layers, 2, H, 4H)
@@ -526,7 +574,11 @@ def _prep_model_weights(layers: List[Dict], dtype):
         wseq_m = jnp.zeros((1, 2, 2 * hidden, 4 * hidden), dtype)
     wstat = jnp.stack([layers[0]["fwd"]["w_ih"][2:],
                        layers[0]["bwd"]["w_ih"][2:]]).astype(dtype)  # (2, Dz, 4H)
-    return whh_m, wseq_m, wstat
+    wp_m = jnp.stack([
+        jnp.pad(layers[0]["fwd"]["w_ih"][:2], ((0, 14), (0, 0))),
+        jnp.pad(layers[0]["bwd"]["w_ih"][:2], ((0, 14), (0, 0))),
+    ]).astype(dtype)                                          # (2, 16, 4H)
+    return whh_m, wseq_m, wstat, wp_m
 
 
 def bilstm_train_apply(layers, x, static, hidden: int, dtype=jnp.bfloat16,
@@ -534,9 +586,11 @@ def bilstm_train_apply(layers, x, static, hidden: int, dtype=jnp.bfloat16,
     """Differentiable fused BiLSTM stack: (B, L, 2) + static (B, Dz) → (B, L, 2H).
 
     Same math as ``models.layers.bilstm_apply`` with the scan replaced by the
-    Pallas forward/backward pair above; parameters/gradients stay float32.
-    Batch padding to a lane multiple happens here, OUTSIDE the custom_vjp, so
-    the pad/crop transposes are XLA's."""
+    Pallas forward/backward pair above; parameters/gradients stay float32 and
+    every primal input — the layer weights, the static code, AND the sequence
+    input x — receives a true cotangent. Batch padding to a lane multiple
+    happens here, OUTSIDE the custom_vjp, so the pad/crop transposes are
+    XLA's."""
     B, L, D = x.shape
     assert D == 2
     pad = (-B) % _LANE
@@ -581,10 +635,10 @@ def _train_bwd(hidden, dtype_name, interpret, residuals, dy):
 
     dy_t = jnp.transpose(dy.astype(dtype), (1, 2, 0))         # (L, 2H, Bp)
     z_t = jnp.transpose(static_p, (1, 0)).astype(dtype)       # (Dz, Bp)
-    whh_m, wseq_m, wstat = _prep_model_weights(layers, dtype)
+    whh_m, wseq_m, wstat, wp_m = _prep_model_weights(layers, dtype)
 
-    dwhh, dwih, dwp, dwz, dbias, dz = _bwd_call(
-        res, dy_t, proto_t, z_t, whh_m, wseq_m, wstat,
+    dwhh, dwih, dwp, dwz, dbias, dz, dpf, dpb = _bwd_call(
+        res, dy_t, proto_t, z_t, whh_m, wseq_m, wstat, wp_m,
         hidden=hidden, interpret=interpret)
 
     dlayers = []
@@ -601,7 +655,8 @@ def _train_bwd(hidden, dtype_name, interpret, residuals, dy):
         dlayers.append(cells)
 
     dstatic = jnp.transpose(dz, (1, 0))                       # (Bp, Dz)
-    dx = jnp.zeros((Bp, L, 2), jnp.float32)                   # prototype: not differentiated
+    # Prototype gradient: per-direction streams summed, coord rows sliced.
+    dx = jnp.transpose((dpf + dpb)[:, 0:2, :], (2, 0, 1)).astype(jnp.float32)
     return dlayers, dx, dstatic
 
 
@@ -609,9 +664,5 @@ _train_core.defvjp(_train_fwd, _train_bwd)
 
 
 def fused_train_available() -> bool:
-    """Same gating as the inference kernel + single device (Pallas custom
-    calls are not auto-partitioned by pjit)."""
-    try:
-        return fused_bilstm_available() and len(jax.devices()) == 1
-    except Exception:  # pragma: no cover
-        return False
+    """Alias of the shared single-device gate (bilstm_fused.fused_single_device)."""
+    return fused_single_device()

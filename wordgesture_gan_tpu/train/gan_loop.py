@@ -118,6 +118,17 @@ def train_gan(
                 traces.append(m)
             s = dict(s)
             s["epoch"] = s["epoch"] + 1
+            if not traces:
+                # Zero-batch epoch (len(train_ds) < batch_size): no-op with
+                # empty traces, like the scanned path. eval_shape gives the
+                # metric keys/dtypes without running a step.
+                shapes = jax.eval_shape(
+                    lambda st, b: gan_train_step(st, b, lr, model_config,
+                                                 training_config)[1],
+                    s, {k: jnp.zeros((training_config.batch_size, *v.shape[2:]),
+                                     v.dtype)
+                        for k, v in eb.items()})
+                return s, {k: jnp.zeros((0,), v.dtype) for k, v in shapes.items()}
             return s, {k: jnp.stack([m[k] for m in traces]) for k in traces[0]}
 
     throughput = Throughput(n_chips=n_shards)
@@ -143,7 +154,10 @@ def train_gan(
         dt = time.perf_counter() - t0
         throughput.update(samples_per_epoch, dt)
 
-        losses = {k: float(np.mean(v)) for k, v in traces.items()}
+        # Zero-batch epoch (len(train_ds) < batch_size, torch drop_last
+        # semantics): a no-op with 0-valued losses, not a NaN-guard trip.
+        empty = next(iter(traces.values())).shape[0] == 0 if traces else True
+        losses = {k: (0.0 if empty else float(np.mean(v))) for k, v in traces.items()}
         losses["lr"] = float(lr)
         # Failure detection: a non-finite loss means the run is diverging —
         # stop before burning epochs / writing a poisoned checkpoint
@@ -177,15 +191,6 @@ def train_gan(
         f"({throughput.per_sec_per_chip:.0f}/chip over {n_shards} chip(s))"
     )
     return TrainResult(state=state, history=history, throughput=throughput)
-
-
-@functools.lru_cache(maxsize=8)
-def _generator_jit(model_config: ModelConfig):
-    """One jitted generator forward per model config — a fresh jit(lambda)
-    per call would recompile every invocation (configs are frozen/hashable,
-    so they key the cache)."""
-    return jax.jit(lambda gp, p, z: generator_apply(gp, p, z, model_config,
-                                                    inference=True))
 
 
 @functools.partial(jax.jit, static_argnames=("model_config", "batch", "n_chunks"))

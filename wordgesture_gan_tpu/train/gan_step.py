@@ -94,26 +94,32 @@ def gan_train_step(
         rng, kz, ke = jax.random.split(rng, 3)
         zkeys.append(kz)
         ekeys.append(ke)
-    z_rands = jnp.stack([jax.random.normal(k, (B, Z)) for k in zkeys])
-    _, mu_c, log_var_c = encoder_apply(e_params, real, ekeys[0], model_config)
-    sigma_c = jnp.exp(0.5 * log_var_c)
-    z_encs = jnp.stack(
-        [mu_c + jax.random.normal(k, mu_c.shape) * sigma_c for k in ekeys]
-    )
+    if n_c > 0:
+        z_rands = jnp.stack([jax.random.normal(k, (B, Z)) for k in zkeys])
+        _, mu_c, log_var_c = encoder_apply(e_params, real, ekeys[0], model_config)
+        sigma_c = jnp.exp(0.5 * log_var_c)
+        z_encs = jnp.stack(
+            [mu_c + jax.random.normal(k, mu_c.shape) * sigma_c for k in ekeys]
+        )
 
-    def critic_iter(i, carry):
-        d1, d2, _, _ = carry
-        z1 = jax.lax.dynamic_index_in_dim(z_rands, i, keepdims=False)
-        z2 = jax.lax.dynamic_index_in_dim(z_encs, i, keepdims=False)
-        # D1 trains against G(proto, z_rand); D2 against G(proto, E(real).z).
-        fake1 = generator_apply(g_params, proto, z1, model_config, inference=True)
-        fake2 = generator_apply(g_params, proto, z2, model_config, inference=True)
-        d1, d1_loss = _critic_update(d1, real, fake1, tx, lr, model_config)
-        d2, d2_loss = _critic_update(d2, real, fake2, tx, lr, model_config)
-        return (d1, d2, d1_loss, d2_loss)
+        def critic_iter(i, carry):
+            d1, d2, _, _ = carry
+            z1 = jax.lax.dynamic_index_in_dim(z_rands, i, keepdims=False)
+            z2 = jax.lax.dynamic_index_in_dim(z_encs, i, keepdims=False)
+            # D1 trains against G(proto, z_rand); D2 against G(proto, E(real).z).
+            fake1 = generator_apply(g_params, proto, z1, model_config, inference=True)
+            fake2 = generator_apply(g_params, proto, z2, model_config, inference=True)
+            d1, d1_loss = _critic_update(d1, real, fake1, tx, lr, model_config)
+            d2, d2_loss = _critic_update(d2, real, fake2, tx, lr, model_config)
+            return (d1, d2, d1_loss, d2_loss)
 
-    carry0 = (state["d1"], state["d2"], jnp.float32(0), jnp.float32(0))
-    d1, d2, d1_loss, d2_loss = jax.lax.fori_loop(0, n_c, critic_iter, carry0)
+        carry0 = (state["d1"], state["d2"], jnp.float32(0), jnp.float32(0))
+        d1, d2, d1_loss, d2_loss = jax.lax.fori_loop(0, n_c, critic_iter, carry0)
+    else:
+        # n_critic=0 ablation: critics untouched (matches the reference's
+        # skipped range(n_critic) loop).
+        d1, d2 = state["d1"], state["d2"]
+        d1_loss = d2_loss = jnp.float32(0)
 
     # ----- joint G+E step (reference utils.py:111-135, trainer.py:84-193) -----
     rng, kz1, ke1, ke2 = jax.random.split(rng, 4)
