@@ -80,6 +80,15 @@ def main() -> None:
     )
 
     if args.variable_length:
+        ignored = [name for name, hit in (
+            ("--wandb", args.wandb),
+            ("--save-figures", bool(args.save_figures)),
+            ("--model min-jerk", args.model == "min-jerk"),
+            ("--large-scale", bool(args.large_scale)),
+        ) if hit]
+        if ignored:
+            log(f"NOTE: --variable-length evaluates the masked transformer "
+                f"path only; ignoring {', '.join(ignored)}")
         _run_variable_length(args, model_config, training_config, eval_config)
         return
 

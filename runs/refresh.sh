@@ -1,6 +1,7 @@
 #!/bin/bash
 # Round-2 runs/ refresh on the adversarially-realistic synthetic dataset.
 cd /root/repo
+set -eo pipefail
 set -x
 rm -f dataset/swipelogs.zip dataset/synthetic_swipelogs_200.zip dataset/.cache_*.pkl
 rm -rf runs/gan_full

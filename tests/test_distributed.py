@@ -43,3 +43,39 @@ def test_requested_via_opt_in(clean_env):
 
 def test_single_process_batch_slice(clean_env):
     assert process_local_batch_slice(512) == slice(0, 512)
+
+
+def test_batch_slices_match_gspmd_block_layout(monkeypatch):
+    """Slices must follow GSPMD's ceil-division blocks (the last block may be
+    short), covering every row exactly once even when indivisible."""
+    import wordgesture_gan_tpu.parallel.distributed as dist
+
+    monkeypatch.setattr(dist, "_INITIALIZED", True)
+    for n_proc, global_batch in [(4, 10), (4, 12), (3, 7), (8, 8), (4, 3)]:
+        import jax as _jax
+
+        monkeypatch.setattr(_jax, "process_count", lambda n=n_proc: n)
+        rows = []
+        per = -(-global_batch // n_proc)
+        for i in range(n_proc):
+            monkeypatch.setattr(_jax, "process_index", lambda i=i: i)
+            s = dist.process_local_batch_slice(global_batch)
+            assert s == slice(min(i * per, global_batch),
+                              min((i + 1) * per, global_batch))
+            rows.extend(range(s.start, s.stop))
+        assert rows == list(range(global_batch))
+
+
+def test_chunk_layout_and_padding():
+    from wordgesture_gan_tpu.utils.chunking import chunk_layout, pad_to_chunks
+
+    import numpy as np
+
+    assert chunk_layout(100, 512) == (128, 1)
+    assert chunk_layout(5000, 512) == (512, 10)
+    assert chunk_layout(1, 512) == (1, 1)
+    a = np.arange(10, dtype=np.float32).reshape(5, 2)
+    p = pad_to_chunks(a, 4, 2)
+    assert p.shape == (8, 2)
+    np.testing.assert_array_equal(p[:5], a)
+    assert (p[5:] == 0).all()

@@ -194,8 +194,15 @@ def _render_word_trace(
         n_hold = int(rng.integers(3, 7))
         hold_xy = traj[at, :2] + rng.normal(0, 0.002, (n_hold, 2))
         hold_t = tau[at] + np.linspace(0, dwell, n_hold + 1)[1:]
-        traj = np.concatenate([traj[: at + 1], np.column_stack([hold_xy, hold_t]),
-                               np.column_stack([traj[at + 1:, :2], tau[at + 1:] + dwell])])
+        # Every segment uses the WARPED clock tau — splicing the unwarped
+        # min-jerk times onto the pre-pause segment would mix two time bases
+        # (hold_t could then start before the last pre-pause timestamp and
+        # the dwell would be flattened by the monotone clamp below).
+        traj = np.concatenate([
+            np.column_stack([traj[: at + 1, :2], tau[: at + 1]]),
+            np.column_stack([hold_xy, hold_t]),
+            np.column_stack([traj[at + 1:, :2], tau[at + 1:] + dwell]),
+        ])
         tau = traj[:, 2]
     else:
         traj = np.column_stack([traj[:, :2], tau])

@@ -224,7 +224,10 @@ def create_variable_split(
 
     def build(word_set) -> VariableGestureArrays:
         g_list, p_list, n_list, w_list = [], [], [], []
-        for word in word_set:
+        # Sorted: set iteration order varies with PYTHONHASHSEED, and eval
+        # slices [:n] — unsorted order would make fixed-seed evals
+        # nondeterministic across processes.
+        for word in sorted(word_set):
             for g, n in by_word[word]:
                 g_list.append(g)
                 p_list.append(proto_for(word, n))

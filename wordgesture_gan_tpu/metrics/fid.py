@@ -150,11 +150,10 @@ def encode_features(params: Dict, gestures: np.ndarray, batch: int = 4096) -> jn
     params_dev = jax.device_put(params)
     n = len(gestures)
     if n == 0:
-        return jnp.zeros((0, 1), jnp.float32)
-    # Power-of-two chunks: tiling-friendly and cache-friendly (see
-    # train/gan_loop.py:generate_gestures).
-    batch = min(batch, 1 << (n - 1).bit_length())
-    n_chunks = -(-n // batch)
-    padded = np.zeros((n_chunks * batch, *gestures.shape[1:]), np.float32)
-    padded[:n] = np.asarray(gestures, np.float32)
+        latent_dim = params["post_pool"]["w"].shape[1]
+        return jnp.zeros((0, latent_dim), jnp.float32)
+    from ..utils.chunking import chunk_layout, pad_to_chunks
+
+    batch, n_chunks = chunk_layout(n, batch)
+    padded = pad_to_chunks(gestures, batch, n_chunks)
     return _encode_scanned(params_dev, jnp.asarray(padded), batch, n_chunks)[:n]

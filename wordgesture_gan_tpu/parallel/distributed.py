@@ -85,5 +85,8 @@ def process_local_batch_slice(global_batch: int) -> slice:
 
     n = jax.process_count() if _INITIALIZED else 1
     i = jax.process_index() if _INITIALIZED else 0
-    per = global_batch // n
-    return slice(i * per, (i + 1) * per if i < n - 1 else global_batch)
+    # Ceil-division blocks — GSPMD/NamedSharding partitions a dimension into
+    # ceil(size/n)-row blocks (the last may be short), so floor-division
+    # slices would misassign rows whenever global_batch % n != 0.
+    per = -(-global_batch // n)
+    return slice(min(i * per, global_batch), min((i + 1) * per, global_batch))

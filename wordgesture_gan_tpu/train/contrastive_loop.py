@@ -119,12 +119,11 @@ def embed_gestures(state: Dict, gestures: np.ndarray, config: ContrastiveConfig,
     n = len(gestures)
     if n == 0:
         return np.zeros((0, config.embedding_dim), np.float32)
+    from ..utils.chunking import chunk_layout, pad_to_chunks
+
     params_dev = jax.device_put({"params": state["params"], "bn": state["bn"]})
-    # Power-of-two chunks (see train/gan_loop.py:generate_gestures).
-    batch = min(batch, 1 << (n - 1).bit_length())
-    n_chunks = -(-n // batch)
-    padded = np.zeros((n_chunks * batch, *gestures.shape[1:]), np.float32)
-    padded[:n] = np.asarray(gestures, np.float32)
+    batch, n_chunks = chunk_layout(n, batch)
+    padded = pad_to_chunks(gestures, batch, n_chunks)
     return np.asarray(_embed_scanned(params_dev, jnp.asarray(padded), batch, n_chunks))[:n]
 
 

@@ -229,18 +229,14 @@ def generate_gestures(
     to whole fixed-size chunks and the per-chunk loop runs as one scanned
     device program (one dispatch, one D2H for all samples).
     """
+    from ..utils.chunking import chunk_layout, pad_to_chunks
+
     g_params = jax.device_put(state["g"]["params"])
     n = len(prototypes)
     if n == 0:
         return np.zeros((0, *prototypes.shape[1:]), np.float32)
-    # Chunk size: a power of two <= batch. Odd batch sizes are compile
-    # poison for the LSTM scan (measured: B=2000 takes ~190s to compile,
-    # B=2048 ~10s, B=512 ~3s) and p-o-2 keeps the shape universe small for
-    # the compilation cache.
-    batch = min(batch, 1 << (n - 1).bit_length())
-    n_chunks = -(-n // batch)
-    padded = np.zeros((n_chunks * batch, *prototypes.shape[1:]), np.float32)
-    padded[:n] = np.asarray(prototypes, np.float32)
+    batch, n_chunks = chunk_layout(n, batch)
+    padded = pad_to_chunks(prototypes, batch, n_chunks)
     out = _generate_scanned(g_params, jnp.asarray(padded), jax.random.PRNGKey(seed),
                             jnp.float32(truncation), model_config, batch, n_chunks)
     return np.asarray(out)[:n]

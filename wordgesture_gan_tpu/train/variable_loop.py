@@ -100,7 +100,10 @@ def train_variable_gan(
         dt = time.perf_counter() - t0
         throughput.update(samples_per_epoch, dt)
 
-        losses = {k: float(np.mean(v)) for k, v in traces.items()}
+        # Zero-batch epoch (len(train_ds) < batch_size, drop_last): no-op
+        # with 0-valued losses, not a NaN-guard trip (np.mean of empty).
+        empty = next(iter(traces.values())).shape[0] == 0 if traces else True
+        losses = {k: (0.0 if empty else float(np.mean(v))) for k, v in traces.items()}
         losses["lr"] = float(lr)
         bad = [k for k, v in losses.items() if not np.isfinite(v)]
         if bad:
@@ -168,12 +171,11 @@ def generate_variable_gestures(
     n = len(prototypes)
     if n == 0:
         return np.zeros((0, *prototypes.shape[1:]), np.float32)
-    batch = min(batch, 1 << (n - 1).bit_length())
-    n_chunks = -(-n // batch)
-    p_pad = np.zeros((n_chunks * batch, *prototypes.shape[1:]), np.float32)
-    p_pad[:n] = np.asarray(prototypes, np.float32)
-    m_pad = np.zeros((n_chunks * batch, masks.shape[1]), np.float32)
-    m_pad[:n] = np.asarray(masks, np.float32)
+    from ..utils.chunking import chunk_layout, pad_to_chunks
+
+    batch, n_chunks = chunk_layout(n, batch)
+    p_pad = pad_to_chunks(prototypes, batch, n_chunks)
+    m_pad = pad_to_chunks(masks, batch, n_chunks)
     out = _generate_variable_scanned(g_params, jnp.asarray(p_pad), jnp.asarray(m_pad),
                                      jax.random.PRNGKey(seed), jnp.float32(truncation),
                                      model_config, batch, n_chunks)
