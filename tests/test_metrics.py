@@ -258,6 +258,61 @@ def test_evaluate_all_metrics_smoke(gesture_sets):
     assert res2["precision"] == pytest.approx(res["precision"])
 
 
+def test_evaluate_all_metrics_mismatched_counts(gesture_sets):
+    """Unequal real/fake counts must be truncated to the smaller set, not
+    silently scrambled by a reshape with the wrong row count."""
+    from wordgesture_gan_tpu.configs import EvaluationConfig
+    from wordgesture_gan_tpu.metrics import evaluate_all_metrics
+
+    real, fake = gesture_sets
+    ecfg = EvaluationConfig(fid_autoencoder_epochs=2)
+    res_eq = evaluate_all_metrics(real[: len(fake) // 2], fake[: len(fake) // 2],
+                                  train_gestures=real, eval_config=ecfg,
+                                  verbose=False, skip_dtw=True)
+    res_mix = evaluate_all_metrics(real, fake[: len(fake) // 2],
+                                   train_gestures=real, eval_config=ecfg,
+                                   verbose=False, skip_dtw=True)
+    assert res_mix["l2_wasserstein"] == pytest.approx(res_eq["l2_wasserstein"])
+    assert res_mix["precision"] == pytest.approx(res_eq["precision"])
+
+
+def test_evaluate_metrics_uses_array_seq_length(gesture_sets):
+    """DTW normalization and the savgol gate key off the ARRAYS' L, not
+    ModelConfig.seq_length."""
+    from wordgesture_gan_tpu.configs import EvaluationConfig
+    from wordgesture_gan_tpu.metrics import evaluate_all_metrics
+
+    real, fake = gesture_sets
+    short_real, short_fake = real[:, :16], fake[:, :16]   # L=16 < savgol 21
+    ecfg = EvaluationConfig(fid_autoencoder_epochs=2)
+    res = evaluate_all_metrics(short_real, short_fake, train_gestures=short_real,
+                               eval_config=ecfg, verbose=False, skip_dtw=True)
+    assert res["jerk_real"] == 0.0 and res["jerk_fake"] == 0.0
+
+
+def test_energy_distance_same_distribution_near_zero():
+    """With the distinct-pair within-set sampling, independent samples of the
+    same distribution give ~0 (the old i==j sampling biased the within-set
+    terms low by ~E|X-X'|/n), and a shifted distribution scores higher."""
+    from wordgesture_gan_tpu.metrics.large_scale import energy_distance
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(2048, 8)).astype(np.float32)
+    a, b = jnp.asarray(x[:1024]), jnp.asarray(x[1024:])
+    d_same = float(energy_distance(a, b, n_pairs=1 << 17))
+    assert abs(d_same) < 0.05, d_same
+    d_shift = float(energy_distance(a, b + 1.0, n_pairs=1 << 17))
+    assert d_shift > 10 * abs(d_same)
+
+
+def test_dtw_always_rejects_extra_dims(gesture_sets):
+    from wordgesture_gan_tpu.ops.dtw import dtw_distance_matrix
+
+    real, fake = gesture_sets
+    with pytest.raises(ValueError, match="use_pallas"):
+        dtw_distance_matrix(real, fake, use_pallas="always")   # D=3
+
+
 def test_pallas_dtw_kernel_matches_xla(gesture_sets):
     """Pallas row-sweep kernel (interpret mode on CPU) vs the XLA version."""
     from wordgesture_gan_tpu.ops.dtw import dtw_pairs

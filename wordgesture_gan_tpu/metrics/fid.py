@@ -24,11 +24,21 @@ from ..ops.sqrtm import frechet_distance
 
 def _ae_cache_path(train_data: np.ndarray, eval_config: EvaluationConfig,
                    cache_dir: str) -> Path:
-    """Cache key mirrors the reference's data-signature hash
-    (evaluation.py:30-35)."""
-    sig = f"{train_data.shape}_{train_data[:10].tobytes()[:100].hex()}_{eval_config.fid_hidden_dim}"
-    digest = hashlib.md5(sig.encode()).hexdigest()[:12]
-    return Path(cache_dir) / f".cache_fid_ae_{digest}.pkl"
+    """Cache key mirrors the reference's data-signature idea
+    (evaluation.py:30-35) but keys on everything that changes the trained
+    AE: ALL training hyperparameters plus a strided digest of the full
+    dataset (the reference's first-rows-only slice collides for any two
+    datasets sharing a prefix)."""
+    stride = max(1, len(train_data) // 64)
+    h = hashlib.md5()
+    h.update(repr((
+        train_data.shape,
+        eval_config.fid_hidden_dim,
+        eval_config.fid_autoencoder_lr,
+        eval_config.fid_autoencoder_epochs,
+    )).encode())
+    h.update(np.ascontiguousarray(train_data[::stride]).tobytes())
+    return Path(cache_dir) / f".cache_fid_ae_{h.hexdigest()[:12]}.pkl"
 
 
 def train_fid_autoencoder(

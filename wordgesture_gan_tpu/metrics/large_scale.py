@@ -61,16 +61,22 @@ def energy_distance(
     k1, k2, k3, k4 = jax.random.split(key, 4)
     n, m = a.shape[0], b.shape[0]
 
-    def mean_dist(x, y, ki, kj):
+    def mean_dist(x, y, ki, kj, distinct=False):
         i = jax.random.randint(ki, (n_pairs,), 0, x.shape[0])
-        j = jax.random.randint(kj, (n_pairs,), 0, y.shape[0])
+        if distinct:
+            # Within-set terms estimate E|X-X'| over INDEPENDENT draws:
+            # allowing i==j contributes distance 0 with probability 1/n and
+            # biases the term low (the statistic high) — offset j so j != i.
+            j = (i + jax.random.randint(kj, (n_pairs,), 1, y.shape[0])) % y.shape[0]
+        else:
+            j = jax.random.randint(kj, (n_pairs,), 0, y.shape[0])
         d = x[i] - y[j]
         return jnp.sqrt(jnp.sum(d * d, axis=-1)).mean()
 
     return (
         2.0 * mean_dist(a, b, k1, k2)
-        - mean_dist(a, a, k1, k3)
-        - mean_dist(b, b, k2, k4)
+        - mean_dist(a, a, k1, k3, distinct=True)
+        - mean_dist(b, b, k2, k4, distinct=True)
     )
 
 
@@ -78,10 +84,9 @@ _BIG = 1e30
 
 
 def _pad_rows(x: np.ndarray, chunk: int) -> np.ndarray:
-    pad = (-len(x)) % chunk
-    if pad:
-        x = np.concatenate([x, np.zeros((pad, x.shape[1]), x.dtype)])
-    return x
+    from ..utils.chunking import pad_to_chunks
+
+    return pad_to_chunks(x, chunk, -(-len(x) // chunk), x.dtype)
 
 
 @partial(jax.jit, static_argnames=("k", "row_chunk"))

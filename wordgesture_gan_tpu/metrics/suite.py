@@ -72,7 +72,15 @@ def evaluate_all_metrics(
     real-side intermediates (flattened xy, self-distances, radii, trained
     FID AE params + features).
     """
-    n = len(real_gestures)
+    # Matched sample counts (the reference always evaluates equal-size sets;
+    # reshaping the fake set with the real count would silently scramble
+    # rows). L comes from the ARRAYS, not the model config — callers may
+    # evaluate at a different resampling length.
+    n = min(len(real_gestures), len(fake_gestures))
+    if len(real_gestures) != len(fake_gestures):
+        real_gestures = real_gestures[:n]
+        fake_gestures = fake_gestures[:n]
+    L = real_gestures.shape[1]
     results: Dict[str, float] = {}
 
     real_d = jnp.asarray(real_gestures, jnp.float32)
@@ -85,20 +93,18 @@ def evaluate_all_metrics(
     fake_flat_xy = fake_d[:, :, :2].reshape(n, -1)
 
     # --- L2 Wasserstein: device cdist, host Hungarian (evaluation.py:336-339)
-    dist_matrix = np.asarray(pairwise_l2(real_flat_xy, fake_flat_xy))
-    results["l2_wasserstein"] = matched_mean_distance(dist_matrix)
+    cross_xy = pairwise_l2(real_flat_xy, fake_flat_xy)
+    results["l2_wasserstein"] = matched_mean_distance(np.asarray(cross_xy))
 
     # --- DTW Wasserstein (evaluation.py:342-361)
     if skip_dtw:
         results["dtw_wasserstein"] = -1.0
     else:
         dtw_mat = dtw_distance_matrix(real_gestures[:, :, :2], fake_gestures[:, :, :2])
-        results["dtw_wasserstein"] = matched_mean_distance(dtw_mat) / np.sqrt(
-            model_config.seq_length
-        )
+        results["dtw_wasserstein"] = matched_mean_distance(dtw_mat) / np.sqrt(L)
 
     # --- savgol jerk (evaluation.py:363-373)
-    if model_config.seq_length >= eval_config.savgol_window:
+    if L >= eval_config.savgol_window:
         results["jerk_real"] = float(
             batched_savgol_jerk(real_d, eval_config.savgol_window, eval_config.savgol_poly_order).mean()
         )
@@ -139,6 +145,7 @@ def evaluate_all_metrics(
         real_flat_xy, fake_flat_xy, eval_config.precision_recall_k,
         real_dists=cached_real.get("real_dists") if cached_real else None,
         real_radii=cached_real.get("real_radii") if cached_real else None,
+        cross=cross_xy,
     )
     results["precision"] = float(precision)
     results["recall"] = float(recall)

@@ -270,13 +270,11 @@ def fused_bilstm_fwd(layers: List[Dict], x: jnp.ndarray, hidden: int,
 
 
 def fused_bilstm_available() -> bool:
-    """Kernel eligibility: a TPU-ish backend and not explicitly disabled."""
-    if os.environ.get("WGG_DISABLE_PALLAS_LSTM"):
-        return False
-    try:
-        return jax.devices()[0].platform in ("tpu", "axon")
-    except Exception:  # pragma: no cover - no backend at all
-        return False
+    """Kernel eligibility: a TPU-ish backend and not explicitly disabled
+    (shared predicate: ops/tpu_platform.py)."""
+    from .tpu_platform import pallas_enabled
+
+    return pallas_enabled("WGG_DISABLE_PALLAS_LSTM")
 
 
 def fused_single_device() -> bool:

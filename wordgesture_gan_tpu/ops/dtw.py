@@ -120,6 +120,10 @@ def dtw_distance_matrix(
     fake_d = jnp.asarray(fake[:, :, :D], jnp.float32)
 
     if use_pallas == "always":
+        if D != 2:
+            raise ValueError(
+                f"use_pallas='always' requires 2-feature gestures (x, y); got "
+                f"D={D} — the Pallas kernel would silently drop extra dims.")
         pallas_ok = True
     elif use_pallas == "never":
         pallas_ok = False

@@ -120,8 +120,8 @@ def dtw_pairs_pallas(x: jnp.ndarray, y: jnp.ndarray, pair_tile: int = 256,
 
 
 def pallas_dtw_available() -> bool:
-    """True when running on a TPU backend where the kernel can compile."""
-    try:
-        return jax.devices()[0].platform in ("tpu", "axon")
-    except Exception:
-        return False
+    """TPU backend + not disabled via WGG_DISABLE_PALLAS_DTW (shared
+    predicate: ops/tpu_platform.py)."""
+    from .tpu_platform import pallas_enabled
+
+    return pallas_enabled("WGG_DISABLE_PALLAS_DTW")

@@ -102,10 +102,9 @@ def bilstm_apply_pallas(layers: List[Dict], x: jnp.ndarray, hidden: int,
 
 
 def pallas_lstm_available() -> bool:
-    try:
-        return jax.devices()[0].platform in ("tpu", "axon")
-    except Exception:
-        return False
+    from .tpu_platform import pallas_enabled
+
+    return pallas_enabled("WGG_DISABLE_PALLAS_LSTM")
 
 
 # ---------------------------------------------------------------------------
@@ -130,6 +129,9 @@ def _lstm_dma_kernel(xproj_hbm, whh_ref, out_hbm, x_buf, o_buf, in_sem, out_sem,
     from jax.experimental.pallas import tpu as pltpu
 
     H = _LANE
+    # The epilogue drains timesteps L-2 and L-1; L=1 would wait on a DMA
+    # that was never started (device hang, not an error).
+    assert seq_len >= 2
 
     def copy_in(slot, t):
         return pltpu.make_async_copy(xproj_hbm.at[t], x_buf.at[slot], in_sem.at[slot])

@@ -127,6 +127,7 @@ def pairwise_l2(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 def knn_precision_recall(
     real_flat: jnp.ndarray, fake_flat: jnp.ndarray, k: int,
     real_dists: jnp.ndarray = None, real_radii: jnp.ndarray = None,
+    cross: jnp.ndarray = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """k-NN manifold precision/recall (reference evaluation.py:470-488).
 
@@ -134,14 +135,17 @@ def knn_precision_recall(
     which includes the self-distance 0 at index 0, as in the reference).
     precision = fraction of fakes within any real ball; recall = fraction of
     reals within any fake ball. Returns (precision, recall, real_dists,
-    real_radii) so the real side can be cached across model evals.
+    real_radii) so the real side can be cached across model evals. ``cross``
+    accepts a precomputed (n_real, n_fake) real↔fake distance matrix (the
+    metric suite already builds it for the Hungarian match).
     """
     if real_dists is None:
         real_dists = pairwise_l2(real_flat, real_flat)
         real_radii = jnp.sort(real_dists, axis=1)[:, k]
     fake_dists = pairwise_l2(fake_flat, fake_flat)
     fake_radii = jnp.sort(fake_dists, axis=1)[:, k]
-    cross = pairwise_l2(real_flat, fake_flat)                   # (n, m)
+    if cross is None:
+        cross = pairwise_l2(real_flat, fake_flat)               # (n, m)
 
     precision = jnp.any(cross <= real_radii[:, None], axis=0).mean()
     recall = jnp.any(cross <= fake_radii[None, :], axis=1).mean()
