@@ -133,8 +133,16 @@ int parse_swipelog(const char* text, int64_t length, ParseResult* out) {
         double x, y, kw, kh;
         const Tok& event = toks[4];
         const Tok& word = toks[10];
+        // Word length in CHARACTERS, not bytes: Python's len() counts code
+        // points, so a single multibyte character (e.g. 'é') must be
+        // dropped here too. UTF-8 continuation bytes have the top two bits
+        // 10; counting only non-continuation bytes gives the code-point
+        // count.
+        size_t word_chars = 0;
+        for (size_t wi = 0; wi < word.n; ++wi)
+          if ((static_cast<unsigned char>(word.p[wi]) & 0xC0) != 0x80) ++word_chars;
         // Mirror the Python try-block ordering: any field failure skips.
-        if (parse_int(toks[11], &is_err) && is_err != 1 && word.n > 1 &&
+        if (parse_int(toks[11], &is_err) && is_err != 1 && word_chars > 1 &&
             parse_double(toks[5], &x) && parse_double(toks[6], &y) &&
             parse_int(toks[1], &ts)) {
           auto is = [&](const char* s) {

@@ -64,12 +64,18 @@ def test_native_matches_python_on_malformed_input():
         "s0 1130 1080 360 touchstart 1.0 2.0 1 1 0 HELLO 0",
         "s0 1140 1080 360 touchmove 2.0 3.0 1 1 0 HELLO 0",
         "s0 1150 1080 360 touchend 3.0 4.0 1 1 0 HELLO 0",
+        # single MULTIBYTE character: len('é')==1 in Python (code points),
+        # 2 in bytes — both parsers must drop it
+        "s0 1160 1080 360 touchstart 1.0 2.0 1 1 0 é 0",
+        "s0 1170 1080 360 touchmove 2.0 3.0 1 1 0 é 0",
+        "s0 1180 1080 360 touchend 3.0 4.0 1 1 0 é 0",
     ])
     py = parse_log_file(content)
     cc = parse_log_file_native(content)
     _assert_same(py, cc)
     assert "hello" in py and len(py["hello"]) == 2
     assert "thing" not in py
+    assert "é" not in py and "é" not in cc
     assert len(py["sound"][0].points) == 3   # malformed touchmove dropped
 
 

@@ -93,10 +93,13 @@ def load_dataset_from_zip(
             log_files = log_files[:max_files]
 
         for member in log_files:
-            # Per-file guard spans read+parse+normalize (reference
-            # data.py:379-399): a malformed file — e.g. a keyb_width=0 row
-            # whose normalized coordinates come out non-finite — is skipped
-            # whole rather than poisoning the dataset.
+            # Per-file guard spans read+parse+normalize. This is deliberately
+            # STRICTER than the reference (data.py:379-399), which appends
+            # gestures into the global dict as it goes and keeps the ones
+            # added before a mid-file failure: here a malformed file — e.g.
+            # a keyb_width=0 row whose normalized coordinates come out
+            # non-finite — is dropped atomically rather than half-ingested,
+            # so a bad file can never poison the dataset with NaNs.
             try:
                 content = zf.read(member).decode("utf-8", errors="ignore")
                 file_gestures = {}
@@ -214,7 +217,13 @@ def create_train_test_split(
 
     def build(word_set) -> GestureArrays:
         g_list, p_list, w_list = [], [], []
-        for word in word_set:
+        # Sorted: str-set iteration order varies with PYTHONHASHSEED, and
+        # eval slices [:n] rows — unsorted order would make fixed-seed evals
+        # pick a different sample subset per process. (The reference iterates
+        # its sets unsorted and inherits exactly that nondeterminism —
+        # determinism here is a deliberate improvement; the word PARTITION
+        # still matches the reference's seeded shuffle.)
+        for word in sorted(word_set):
             proto = prototypes_by_word[word]
             for gesture in gestures_by_word[word]:
                 g_list.append(gesture)

@@ -37,6 +37,13 @@ def normalize_gesture(raw: RawGesture, seq_length: int = 128) -> np.ndarray:
     points = np.empty((len(pts64), 3), dtype=np.float32)
     points[:, 0] = (pts64[:, 0] / raw.keyb_width) * 2.0 - 1.0
     points[:, 1] = (pts64[:, 1] / raw.keyb_height) * 2.0 - 1.0
+    # KNOWN REFERENCE DEFECT, kept for bit parity (data.py:267-277): raw
+    # Unix-epoch-ms timestamps are narrowed to float32 BEFORE the duration
+    # subtraction. float32 spacing at ~1.6e12 is 131072 ms, so every real
+    # swipelog gesture shorter than ~2 min collapses to duration 0 and takes
+    # the uniform-ramp else-branch below — the reference's published timing
+    # metrics are computed on exactly this fallback. The variable-length
+    # pipeline (no parity mandate) does the time math in float64 instead.
     points[:, 2] = pts64[:, 2]
 
     start, end = points[0, 2], points[-1, 2]
@@ -122,6 +129,12 @@ def compute_canonical_transform(
     from inferred key positions to canonical QWERTY centers
     (reference data.py:62-105)."""
     letters = list(inferred_positions.keys())
+    if len(letters) < 2:
+        raise ValueError(
+            f"Cannot fit the canonical transform: only {len(letters)} "
+            f"letter(s) reached the minimum observation count — the dataset "
+            f"is too small (try more log files or a lower min_samples)."
+        )
     gesture = np.array([inferred_positions[c] for c in letters])
     canonical = np.array([keyboard.get_key_center(c) for c in letters])
 

@@ -50,12 +50,17 @@ def normalize_gesture_variable(
     points = np.empty((len(pts64), 3), dtype=np.float32)
     points[:, 0] = (pts64[:, 0] / raw.keyb_width) * 2.0 - 1.0
     points[:, 1] = (pts64[:, 1] / raw.keyb_height) * 2.0 - 1.0
-    points[:, 2] = pts64[:, 2]
 
-    start, end = points[0, 2], points[-1, 2]
-    duration = end - start
+    # Time math in float64 BEFORE narrowing: real swipelog timestamps are
+    # Unix-epoch milliseconds (~1.6e12) whose float32 spacing is 131072 ms —
+    # narrowing first would collapse every <2 min gesture to duration 0 and
+    # silently replace its timing with a uniform ramp. (The fixed-length
+    # pipeline keeps the reference's float32 behavior for bit-parity,
+    # preprocess.py:40; this module has no parity mandate.)
+    t64 = np.asarray(pts64[:, 2], np.float64)
+    duration = t64[-1] - t64[0]
     if duration > 0:
-        points[:, 2] = (points[:, 2] - start) / duration
+        points[:, 2] = (t64 - t64[0]) / duration
     else:
         points[:, 2] = np.linspace(0, 1, len(points))
 

@@ -142,17 +142,18 @@ def print_comparison_table(gan_results: Dict, minjerk_results: Dict,
     log("=" * 90)
     log(f'{"Metric":<30} {"GAN":>15} {"Min Jerk":>15} {"Paper GAN":>12} {"Paper MJ":>12}')
     log("-" * 90)
-    log(f'{"L2 Wasserstein (x,y)":<30} {gan_results["l2_wasserstein"]:>15.3f} {minjerk_results["l2_wasserstein"]:>15.3f} {"4.409":>12} {"5.004":>12}')
+    pg, pm = PAPER_GAN, PAPER_MINJERK  # single source of the Table-6 constants
+    log(f'{"L2 Wasserstein (x,y)":<30} {gan_results["l2_wasserstein"]:>15.3f} {minjerk_results["l2_wasserstein"]:>15.3f} {pg["l2"]:>12} {pm["l2"]:>12}')
     g_dtw = "SKIP" if gan_results["dtw_wasserstein"] < 0 else f'{gan_results["dtw_wasserstein"]:.3f}'
     m_dtw = "SKIP" if minjerk_results["dtw_wasserstein"] < 0 else f'{minjerk_results["dtw_wasserstein"]:.3f}'
-    log(f'{"DTW Wasserstein (x,y)":<30} {g_dtw:>15} {m_dtw:>15} {"2.146":>12} {"2.752":>12}')
-    log(f'{"Jerk (generated)":<30} {gan_results["jerk_fake"]:>15.5f} {minjerk_results["jerk_fake"]:>15.5f} {"0.0058":>12} {"0.0034":>12}')
-    log(f'{"Velocity Corr":<30} {gan_results["velocity_corr"]:>15.3f} {minjerk_results["velocity_corr"]:>15.3f} {"0.40":>12} {"0.40":>12}')
-    log(f'{"Acceleration Corr":<30} {gan_results["acceleration_corr"]:>15.3f} {minjerk_results["acceleration_corr"]:>15.3f} {"0.26":>12} {"0.21":>12}')
+    log(f'{"DTW Wasserstein (x,y)":<30} {g_dtw:>15} {m_dtw:>15} {pg["dtw"]:>12} {pm["dtw"]:>12}')
+    log(f'{"Jerk (generated)":<30} {gan_results["jerk_fake"]:>15.5f} {minjerk_results["jerk_fake"]:>15.5f} {pg["jerk_fake"]:>12} {pm["jerk_fake"]:>12}')
+    log(f'{"Velocity Corr":<30} {gan_results["velocity_corr"]:>15.3f} {minjerk_results["velocity_corr"]:>15.3f} {pg["vel"]:>12} {pm["vel"]:>12}')
+    log(f'{"Acceleration Corr":<30} {gan_results["acceleration_corr"]:>15.3f} {minjerk_results["acceleration_corr"]:>15.3f} {pg["acc"]:>12} {pm["acc"]:>12}')
     log(f'{"Speed Profile Corr":<30} {gan_results["speed_profile_corr"]:>15.3f} {minjerk_results["speed_profile_corr"]:>15.3f} {"--":>12} {"--":>12}')
     log(f'{"Time Delta Corr":<30} {gan_results["time_delta_corr"]:>15.3f} {minjerk_results["time_delta_corr"]:>15.3f} {"--":>12} {"--":>12}')
     log("-" * 90)
-    log(f'{"FID":<30} {gan_results["fid"]:>15.4f} {minjerk_results["fid"]:>15.4f} {"0.270":>12} {"0.354":>12}')
-    log(f'{f"Precision (k={precision_k})":<30} {gan_results["precision"]:>15.3f} {minjerk_results["precision"]:>15.3f} {"0.973":>12} {"0.785":>12}')
-    log(f'{f"Recall (k={precision_k})":<30} {gan_results["recall"]:>15.3f} {minjerk_results["recall"]:>15.3f} {"0.258":>12} {"0.575":>12}')
+    log(f'{"FID":<30} {gan_results["fid"]:>15.4f} {minjerk_results["fid"]:>15.4f} {pg["fid"]:>12} {pm["fid"]:>12}')
+    log(f'{f"Precision (k={precision_k})":<30} {gan_results["precision"]:>15.3f} {minjerk_results["precision"]:>15.3f} {pg["precision"]:>12} {pm["precision"]:>12}')
+    log(f'{f"Recall (k={precision_k})":<30} {gan_results["recall"]:>15.3f} {minjerk_results["recall"]:>15.3f} {pg["recall"]:>12} {pm["recall"]:>12}')
     log("=" * 90)
