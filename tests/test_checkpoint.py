@@ -87,18 +87,18 @@ def test_training_resumes_from_checkpoint(tmp_path):
     )
     rt = RuntimeConfig(data_axis_size=1)
 
-    r1 = train_gan(ds, None, MCFG, TCFG, rt, num_epochs=2, seed=0,
+    r1 = train_gan(ds, MCFG, TCFG, rt, num_epochs=2, seed=0,
                    checkpoint_dir=str(tmp_path), resume=True, verbose=False)
     assert len(r1.history) == 2
     assert latest_epoch(str(tmp_path)) == 2
 
-    r2 = train_gan(ds, None, MCFG, TCFG, rt, num_epochs=4, seed=0,
+    r2 = train_gan(ds, MCFG, TCFG, rt, num_epochs=4, seed=0,
                    checkpoint_dir=str(tmp_path), resume=True, verbose=False)
     assert len(r2.history) == 2                          # only epochs 3 and 4
     assert latest_epoch(str(tmp_path)) == 4
     assert int(np.asarray(r2.state["epoch"])) == 4
 
     # resume=False starts over from epoch 0
-    r3 = train_gan(ds, None, MCFG, TCFG, rt, num_epochs=1, seed=0,
+    r3 = train_gan(ds, MCFG, TCFG, rt, num_epochs=1, seed=0,
                    checkpoint_dir=str(tmp_path / "fresh"), resume=False, verbose=False)
     assert len(r3.history) == 1

@@ -134,7 +134,6 @@ def main() -> None:
     with trace_profile(args.profile_dir):
         result = train_gan(
             train_ds,
-            test_ds,
             model_config=model_config,
             training_config=training_config,
             runtime_config=runtime_config,

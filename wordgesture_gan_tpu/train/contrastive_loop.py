@@ -210,23 +210,31 @@ def train_contrastive(
                     ) // config.batch_words
     total_steps = num_epochs * max(n_batches, 1)
 
+    # Gesture store as jit ARGUMENTS (device-resident), never closed-over —
+    # closures bake host arrays into the program as HLO constants, which
+    # duplicates HBM and is pathological to compile remotely (same contract
+    # as embed_gestures below and gan_loop's epoch_fn).
     epoch_fn = jax.jit(
-        lambda s, bi: contrastive_train_epoch(
-            s, g_dev, l_dev, bi,
+        lambda s, g, l, bi: contrastive_train_epoch(
+            s, g, l, bi,
             (config.learning_rate, config.eta_min, total_steps), config,
         )
     )
 
-    sampler_rng = _random.Random(seed)
     history: Dict[str, list] = {"train_loss": []}
     best_recall = float(np.asarray(state["best_recall"]))
 
     for epoch in range(start_epoch, num_epochs):
+        # Per-epoch derived RNG: a single stateful stream restarted at seed
+        # would make a resumed run replay epoch-0's batch sequences (the GAN
+        # loop's fold_in(seed, epoch) pattern, made stdlib).
+        sampler_rng = _random.Random(seed * 1_000_003 + epoch)
         batch_idx = sample_epoch_batches(
             train_data, config.batch_words, config.gestures_per_word, sampler_rng
         )
         t0 = time.perf_counter()
-        state, losses = epoch_fn(state, jax.device_put(jnp.asarray(batch_idx), idx_shard))
+        state, losses = epoch_fn(state, g_dev, l_dev,
+                                 jax.device_put(jnp.asarray(batch_idx), idx_shard))
         jax.block_until_ready(losses)
         dt = time.perf_counter() - t0
         avg_loss = float(np.mean(np.asarray(losses)))

@@ -46,7 +46,6 @@ class TrainResult:
 
 def train_gan(
     train_ds: GestureArrays,
-    test_ds: Optional[GestureArrays] = None,
     model_config: ModelConfig = DEFAULT_MODEL_CONFIG,
     training_config: TrainingConfig = DEFAULT_TRAINING_CONFIG,
     runtime_config: RuntimeConfig = DEFAULT_RUNTIME_CONFIG,

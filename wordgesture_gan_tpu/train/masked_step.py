@@ -81,19 +81,37 @@ def gan_train_step_masked(
         new_params, new_opt = apply_update(disc["params"], grads, disc["opt"], tx, lr)
         return {"params": new_params, "opt": new_opt, "sn": new_sn}, loss
 
-    def critic_iter(i, carry):
-        d1, d2, rng, _, _ = carry
+    # Hoisted latent draws (same structure as gan_step.py's critic loop):
+    # G and E are frozen during the loop and E has no stochastic layers, so
+    # mu/log_var are iteration-invariant — the encoder runs once, with a
+    # fresh reparameterization eps per iteration.
+    n_c = training_config.n_critic
+    zkeys, ekeys = [], []
+    for _ in range(n_c):
         rng, kz, ke = jax.random.split(rng, 3)
-        z_rand = jax.random.normal(kz, (B, Z))
-        d1, d1_loss = critic_update(d1, gen(g_params, z_rand))
-        z_enc, _, _ = encoder_apply(e_params, real_m, ke, model_config)
-        d2, d2_loss = critic_update(d2, gen(g_params, z_enc))
-        return (d1, d2, rng, d1_loss, d2_loss)
+        zkeys.append(kz)
+        ekeys.append(ke)
+    if n_c > 0:
+        z_rands = jnp.stack([jax.random.normal(k, (B, Z)) for k in zkeys])
+        _, mu_c, log_var_c = encoder_apply(e_params, real_m, ekeys[0], model_config)
+        sigma_c = jnp.exp(0.5 * log_var_c)
+        z_encs = jnp.stack(
+            [mu_c + jax.random.normal(k, mu_c.shape) * sigma_c for k in ekeys]
+        )
 
-    carry0 = (state["d1"], state["d2"], rng, jnp.float32(0), jnp.float32(0))
-    d1, d2, rng, d1_loss, d2_loss = jax.lax.fori_loop(
-        0, training_config.n_critic, critic_iter, carry0
-    )
+        def critic_iter(i, carry):
+            d1, d2, _, _ = carry
+            z1 = jax.lax.dynamic_index_in_dim(z_rands, i, keepdims=False)
+            z2 = jax.lax.dynamic_index_in_dim(z_encs, i, keepdims=False)
+            d1, d1_loss = critic_update(d1, gen(g_params, z1))
+            d2, d2_loss = critic_update(d2, gen(g_params, z2))
+            return (d1, d2, d1_loss, d2_loss)
+
+        carry0 = (state["d1"], state["d2"], jnp.float32(0), jnp.float32(0))
+        d1, d2, d1_loss, d2_loss = jax.lax.fori_loop(0, n_c, critic_iter, carry0)
+    else:
+        d1, d2 = state["d1"], state["d2"]
+        d1_loss = d2_loss = jnp.float32(0)
 
     rng, kz1, ke1, ke2 = jax.random.split(rng, 4)
 

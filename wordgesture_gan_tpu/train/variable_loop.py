@@ -76,10 +76,44 @@ def train_variable_gan(
         return TrainResult(state=state)
 
     batch_shard = batch_sharding(mesh, batch_axis=1)
-    epoch_fn = jax.jit(
-        lambda s, eb, lr: gan_train_epoch_masked(s, eb, lr, model_config, training_config),
-        donate_argnums=(0,) if runtime_config.donate_state else (),
-    )
+    donate = (0,) if runtime_config.donate_state else ()
+    if runtime_config.scan_epoch:
+        epoch_fn = jax.jit(
+            lambda s, eb, lr: gan_train_epoch_masked(s, eb, lr, model_config,
+                                                     training_config),
+            donate_argnums=donate,
+        )
+    else:
+        # Same per-batch host-loop strategy gan_loop honors for
+        # RuntimeConfig.scan_epoch=False (the measured-faster single-chip
+        # default; see configs.py).
+        from .masked_step import gan_train_step_masked
+
+        step_fn = jax.jit(
+            lambda s, b, lr: gan_train_step_masked(s, b, lr, model_config,
+                                                   training_config),
+            donate_argnums=donate,
+        )
+
+        def epoch_fn(s, eb, lr):
+            n = eb["gesture"].shape[0]
+            traces = []
+            for i in range(n):
+                s, m = step_fn(s, {k: v[i] for k, v in eb.items()}, lr)
+                traces.append(m)
+            s = dict(s)
+            s["epoch"] = s["epoch"] + 1
+            if not traces:
+                # Zero-batch epoch: empty traces with the right keys (see
+                # gan_loop.py's identical guard).
+                shapes = jax.eval_shape(
+                    lambda st, b: gan_train_step_masked(
+                        st, b, lr, model_config, training_config)[1],
+                    s, {k: jnp.zeros((training_config.batch_size, *v.shape[2:]),
+                                     v.dtype)
+                        for k, v in eb.items()})
+                return s, {k: jnp.zeros((0,), v.dtype) for k, v in shapes.items()}
+            return s, {k: jnp.stack([m[k] for m in traces]) for k in traces[0]}
 
     throughput = Throughput(n_chips=n_shards)
     history = []
