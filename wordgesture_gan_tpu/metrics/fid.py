@@ -19,7 +19,6 @@ import optax
 
 from ..configs import DEFAULT_EVALUATION_CONFIG, DEFAULT_MODEL_CONFIG, EvaluationConfig, ModelConfig
 from ..models.gan import autoencoder_apply, autoencoder_encode, autoencoder_init
-from ..ops.sqrtm import frechet_distance
 
 
 def _ae_cache_path(train_data: np.ndarray, eval_config: EvaluationConfig,
@@ -128,22 +127,37 @@ def load_or_train_fid_autoencoder(
     return params, final_loss
 
 
-def fid_from_features(real_features: jnp.ndarray, fake_features: jnp.ndarray) -> float:
+def fid_from_features(real_features, fake_features) -> float:
     """Fréchet distance between Gaussian feature fits, with the reference's
     1e-6 diagonal jitter (evaluation.py:461-468).
 
+    Runs in float64 numpy on the host: the covariances are tiny
+    (hidden_dim², 32×32 by default) but near-singular when n is small, and
+    the reference's scipy path is f64 — an f32 device eigh costs ~0.5%
+    relative error here for zero savings (measured in the cross-impl parity
+    harness). ops/sqrtm.frechet_distance remains the device/jit variant.
     Covariances are explicitly symmetrized and the result clamped at 0: FID
     is nonnegative by definition, but for near-identical distributions the
-    eigh-based trace can overshoot tr(Σr)+tr(Σf) by float error (the
-    reference's scipy path has the same exposure via the real-part take)."""
+    eigen-trace can overshoot tr(Σr)+tr(Σf) by float error (the reference's
+    scipy path has the same exposure via the real-part take)."""
+    real_features = np.asarray(real_features, np.float64)
+    fake_features = np.asarray(fake_features, np.float64)
     dim = real_features.shape[1]
     mu_r = real_features.mean(axis=0)
     mu_f = fake_features.mean(axis=0)
-    cov_r = jnp.cov(real_features, rowvar=False) + jnp.eye(dim) * 1e-6
-    cov_f = jnp.cov(fake_features, rowvar=False) + jnp.eye(dim) * 1e-6
+    cov_r = np.cov(real_features, rowvar=False) + np.eye(dim) * 1e-6
+    cov_f = np.cov(fake_features, rowvar=False) + np.eye(dim) * 1e-6
     cov_r = 0.5 * (cov_r + cov_r.T)
     cov_f = 0.5 * (cov_f + cov_f.T)
-    return float(jnp.maximum(frechet_distance(mu_r, cov_r, mu_f, cov_f), 0.0))
+
+    # tr((Σr Σf)^1/2) = tr((Σr^1/2 Σf Σr^1/2)^1/2) — two symmetric eigs.
+    w_r, v_r = np.linalg.eigh(cov_r)
+    sqrt_r = (v_r * np.sqrt(np.maximum(w_r, 0.0))) @ v_r.T
+    w = np.linalg.eigvalsh(sqrt_r @ cov_f @ sqrt_r)
+    trace_sqrt = np.sum(np.sqrt(np.maximum(w, 0.0)))
+    diff = mu_r - mu_f
+    fid = diff @ diff + np.trace(cov_r) + np.trace(cov_f) - 2.0 * trace_sqrt
+    return float(max(fid, 0.0))
 
 
 @partial(jax.jit, static_argnames=("batch", "n_chunks"))

@@ -51,13 +51,16 @@ def encoder_init(key, config: ModelConfig = DEFAULT_MODEL_CONFIG) -> Dict:
 
 
 def encoder_apply(params, x: jnp.ndarray, rng,
-                  config: ModelConfig = None) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+                  config: ModelConfig = None, *,
+                  eps: jnp.ndarray = None) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Gesture (B, L, 3) → (z, mu, log_var) via the reparameterization trick.
 
     ``rng`` drives the epsilon draw (torch uses randn_like,
-    reference models.py:78-86). Under mixed precision the hidden MLP runs in
-    bf16; the (mu, log_var) heads and the reparameterization stay float32 so
-    the KL term and z are full precision."""
+    reference models.py:78-86); a pre-drawn ``eps`` overrides it (used by the
+    cross-implementation parity harness to feed both stacks identical noise).
+    Under mixed precision the hidden MLP runs in bf16; the (mu, log_var)
+    heads and the reparameterization stay float32 so the KL term and z are
+    full precision."""
     dtype = _compute_dtype(config)
     h = x.reshape(x.shape[0], -1)
     mlp = params["mlp"]
@@ -69,7 +72,8 @@ def encoder_apply(params, x: jnp.ndarray, rng,
     h = h.astype(jnp.float32)
     mu = dense(params["mu"], h)
     log_var = dense(params["log_var"], h)
-    eps = jax.random.normal(rng, mu.shape, mu.dtype)
+    if eps is None:
+        eps = jax.random.normal(rng, mu.shape, mu.dtype)
     z = mu + eps * jnp.exp(0.5 * log_var)
     return z, mu, log_var
 

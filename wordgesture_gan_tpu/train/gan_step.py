@@ -64,8 +64,15 @@ def gan_train_step(
     lr: jnp.ndarray,
     model_config: ModelConfig,
     training_config: TrainingConfig,
+    noise: Dict[str, jnp.ndarray] = None,
 ) -> Tuple[Dict, Dict[str, jnp.ndarray]]:
-    """One fused two-cycle step on one batch. Pure; jit/scan-safe."""
+    """One fused two-cycle step on one batch. Pure; jit/scan-safe.
+
+    ``noise`` (optional, parity-harness only) pre-draws every stochastic
+    input instead of consuming the state RNG: ``z_rand``/``eps_enc``
+    (n_critic, B, Z) for the critic loop, ``z1``/``eps_rec``/``eps2``
+    (B, Z) for the joint step — the draw order the reference trainer uses
+    (utils.py:68-120), so both stacks can be fed identical randomness."""
     real = batch["gesture"]
     proto = batch["prototype"]
     B = real.shape[0]
@@ -95,12 +102,20 @@ def gan_train_step(
         zkeys.append(kz)
         ekeys.append(ke)
     if n_c > 0:
-        z_rands = jnp.stack([jax.random.normal(k, (B, Z)) for k in zkeys])
+        if noise is not None:
+            z_rands = noise["z_rand"]
+            eps_encs = noise["eps_enc"]
+        else:
+            z_rands = jnp.stack([jax.random.normal(k, (B, Z)) for k in zkeys])
+            eps_encs = None
         _, mu_c, log_var_c = encoder_apply(e_params, real, ekeys[0], model_config)
         sigma_c = jnp.exp(0.5 * log_var_c)
-        z_encs = jnp.stack(
-            [mu_c + jax.random.normal(k, mu_c.shape) * sigma_c for k in ekeys]
-        )
+        if eps_encs is not None:
+            z_encs = mu_c[None] + eps_encs * sigma_c[None]
+        else:
+            z_encs = jnp.stack(
+                [mu_c + jax.random.normal(k, mu_c.shape) * sigma_c for k in ekeys]
+            )
 
         def critic_iter(i, carry):
             d1, d2, _, _ = carry
@@ -123,17 +138,21 @@ def gan_train_step(
 
     # ----- joint G+E step (reference utils.py:111-135, trainer.py:84-193) -----
     rng, kz1, ke1, ke2 = jax.random.split(rng, 4)
+    z1_fixed = noise["z1"] if noise is not None else None
+    eps_rec = noise["eps_rec"] if noise is not None else None
+    eps2 = noise["eps2"] if noise is not None else None
 
     def ge_loss_fn(ge_params, d1_sn, d2_sn):
         gp, ep = ge_params
 
         # Cycle 1: z → X' → z'
-        z = jax.random.normal(kz1, (B, Z))
+        z = z1_fixed if z1_fixed is not None else jax.random.normal(kz1, (B, Z))
         fake1 = generator_apply(gp, proto, z, model_config)
         fake1_scores, fake1_feats, d1_sn = disc_apply(d1["params"], d1_sn, fake1, True, model_config)
         _, real1_feats, d1_sn = disc_apply(d1["params"], d1_sn, real, True, model_config)
         # Latent recovery under no_grad: fully detached (trainer.py:116-119).
-        z_rec, _, _ = encoder_apply(ep, jax.lax.stop_gradient(fake1), ke1, model_config)
+        z_rec, _, _ = encoder_apply(ep, jax.lax.stop_gradient(fake1), ke1, model_config,
+                                    eps=eps_rec)
         z_rec = jax.lax.stop_gradient(z_rec)
 
         c1_wgan = wgan_generator_loss(fake1_scores)
@@ -146,7 +165,7 @@ def gan_train_step(
         )
 
         # Cycle 2: X → z → X'
-        z_enc, mu, log_var = encoder_apply(ep, real, ke2, model_config)
+        z_enc, mu, log_var = encoder_apply(ep, real, ke2, model_config, eps=eps2)
         fake2 = generator_apply(gp, proto, z_enc, model_config)
         fake2_scores, fake2_feats, d2_sn = disc_apply(d2["params"], d2_sn, fake2, True, model_config)
         _, real2_feats, d2_sn = disc_apply(d2["params"], d2_sn, real, True, model_config)
