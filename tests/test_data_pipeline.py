@@ -154,3 +154,75 @@ def test_malformed_file_is_skipped_not_poisoning(tmp_path):
     for word, gs in gestures.items():
         for g in gs:
             assert np.isfinite(g).all(), f"NaN leaked into {word}"
+
+
+def test_time64_fixes_epoch_timestamp_collapse():
+    """The parity path narrows epoch-ms timestamps to float32 before the
+    duration subtraction (reference data.py:267-277): at ~1.6e12 the float32
+    spacing is 131 s, so a 1-second gesture collapses to duration 0 and gets
+    a uniform time ramp. time64=True preserves the true timing profile."""
+    import numpy as np
+
+    from wordgesture_gan_tpu.data.parse import RawGesture
+    from wordgesture_gan_tpu.data.preprocess import normalize_gesture
+
+    n, L = 24, 16
+    u = np.linspace(0, 1, n)
+    ts = 1.6e12 + 1000.0 * u**2           # quadratic (slow->fast) 1s gesture
+    pts = np.column_stack([
+        np.linspace(100, 900, n), np.linspace(100, 300, n), ts
+    ]).astype(np.float64)
+    raw = RawGesture(points=pts, keyb_width=1080.0, keyb_height=360.0)
+
+    g32 = normalize_gesture(raw, L)
+    g64 = normalize_gesture(raw, L, time64=True)
+
+    ramp = np.linspace(0, 1, L, dtype=np.float32)
+    np.testing.assert_allclose(g32[:, 2], ramp, atol=1e-5)      # collapsed
+    assert np.abs(g64[:, 2] - ramp).max() > 0.1                 # preserved
+    # xy channels are identical in both modes.
+    np.testing.assert_array_equal(g32[:, :2], g64[:, :2])
+    # The preserved profile is the quadratic warp (sampled on the uniform
+    # arc grid of a straight-line trace).
+    np.testing.assert_allclose(g64[:, 2], ramp**2, atol=1e-3)
+
+
+def test_epoch_clock_zip_roundtrip(tmp_path):
+    """Epoch-clock synthetic zips (the realistic default) reproduce the
+    reference's float32 collapse on the parity path: every gesture's time
+    channel equals what an INDEX-ramp clock would give (true dt destroyed;
+    what survives arc-length resampling is raw point density, not velocity).
+    time64 recovers materially different timing."""
+    import zipfile
+
+    import numpy as np
+
+    from wordgesture_gan_tpu.data.parse import RawGesture, parse_log_file
+    from wordgesture_gan_tpu.data.preprocess import normalize_gesture
+    from wordgesture_gan_tpu.data.synthetic import write_synthetic_swipelogs_zip
+
+    zp = tmp_path / "z.zip"
+    write_synthetic_swipelogs_zip(str(zp), n_users=4, seed=1, n_sentences=3,
+                                  words_per_sentence=4, max_vocab=40)
+
+    collapsed, total, deltas = 0, 0, []
+    with zipfile.ZipFile(zp) as zf:
+        for member in zf.namelist():
+            parsed = parse_log_file(zf.read(member).decode("utf-8", "ignore"))
+            for gs in parsed.values():
+                for raw in gs:
+                    assert raw.points[0, 2] > 1e12      # epoch-ms clock
+                    g32 = normalize_gesture(raw, 32)
+                    ramp_pts = raw.points.copy()
+                    ramp_pts[:, 2] = np.arange(len(ramp_pts))
+                    g_ramp = normalize_gesture(
+                        RawGesture(ramp_pts, raw.keyb_width, raw.keyb_height), 32)
+                    total += 1
+                    if np.allclose(g32[:, 2], g_ramp[:, 2], atol=1e-6):
+                        collapsed += 1
+                    g64 = normalize_gesture(raw, 32, time64=True)
+                    deltas.append(np.abs(g64[:, 2] - g32[:, 2]).max())
+
+    assert total > 20
+    assert collapsed / total > 0.95            # collapse reproduced bit-for-bit
+    assert np.median(deltas) > 0.01            # time64 recovers real timing

@@ -28,6 +28,10 @@ def add_data_args(parser: argparse.ArgumentParser) -> None:
                         help="number of synthetic users when --synthetic")
     parser.add_argument("--max-files", type=int, default=None,
                         help="cap processed log files (debugging)")
+    parser.add_argument("--time64", action="store_true",
+                        help="do gesture-duration math in float64 (fixes the "
+                             "reference's float32 epoch-timestamp collapse, "
+                             "preprocess.py:40-47; default keeps bit parity)")
     parser.add_argument("--seed", type=int, default=42)
 
 
@@ -71,6 +75,7 @@ def load_split(
     gestures, protos = load_dataset_from_zip(
         zip_path, keyboard, model_config, training_config,
         max_files=args.max_files, verbose=verbose,
+        time64=getattr(args, "time64", False),
     )
     train_ds, test_ds = create_train_test_split(
         gestures, protos, training_config.train_ratio, seed=args.seed, verbose=verbose,

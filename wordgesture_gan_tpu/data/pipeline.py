@@ -37,12 +37,17 @@ from .preprocess import (
 )
 
 
-def _cache_path(zip_path: str, model_config: ModelConfig, training_config: TrainingConfig) -> Path:
-    """Preprocessing cache keyed by (seq_length, max_samples_per_word), next to
-    the zip (reference data.py:326-331; `.npz.pkl` instead of torch `.pt`)."""
-    key = f"{model_config.seq_length}_{training_config.max_samples_per_word}"
-    digest = hashlib.md5(key.encode()).hexdigest()[:8]
+def _cache_path(zip_path: str, model_config: ModelConfig, training_config: TrainingConfig,
+                time64: bool = False) -> Path:
+    """Preprocessing cache keyed by (seq_length, max_samples_per_word,
+    time64, zip byte size), next to the zip (reference data.py:326-331;
+    `.npz.pkl` instead of torch `.pt`). The size term auto-invalidates the
+    cache when a same-named zip is regenerated (the reference keys on the
+    name alone and silently serves stale data)."""
     p = Path(zip_path)
+    size = p.stat().st_size if p.exists() else 0
+    key = f"{model_config.seq_length}_{training_config.max_samples_per_word}_{time64}_{size}"
+    digest = hashlib.md5(key.encode()).hexdigest()[:8]
     return p.parent / f".cache_{p.stem}_{digest}.pkl"
 
 
@@ -54,6 +59,7 @@ def load_dataset_from_zip(
     max_files: Optional[int] = None,
     use_cache: bool = True,
     verbose: bool = True,
+    time64: bool = False,
 ) -> Tuple[Dict[str, List[np.ndarray]], Dict[str, np.ndarray]]:
     """Load and preprocess the swipelog dataset (reference data.py:334-441).
 
@@ -69,7 +75,7 @@ def load_dataset_from_zip(
     say = print if verbose else (lambda *a, **k: None)
 
     if use_cache and max_files is None:
-        cpath = _cache_path(zip_path, model_config, training_config)
+        cpath = _cache_path(zip_path, model_config, training_config, time64)
         if cpath.exists():
             say(f"Loading preprocessed data from cache: {cpath}")
             with open(cpath, "rb") as f:
@@ -105,7 +111,8 @@ def load_dataset_from_zip(
                 file_gestures = {}
                 for word, raw_list in parse(content).items():
                     normalized = [
-                        normalize_gesture(raw, model_config.seq_length) for raw in raw_list
+                        normalize_gesture(raw, model_config.seq_length, time64=time64)
+                        for raw in raw_list
                     ]
                     if any(not np.isfinite(g).all() for g in normalized):
                         raise ValueError(f"non-finite coordinates in {member}")
@@ -146,7 +153,7 @@ def load_dataset_from_zip(
     }
 
     if use_cache and max_files is None:
-        cpath = _cache_path(zip_path, model_config, training_config)
+        cpath = _cache_path(zip_path, model_config, training_config, time64)
         say(f"Saving preprocessed data to cache: {cpath}")
         with open(cpath, "wb") as f:
             pickle.dump(

@@ -16,7 +16,8 @@ from ..keyboard import QWERTYKeyboard
 from .parse import RawGesture
 
 
-def normalize_gesture(raw: RawGesture, seq_length: int = 128) -> np.ndarray:
+def normalize_gesture(raw: RawGesture, seq_length: int = 128,
+                      time64: bool = False) -> np.ndarray:
     """Normalize one raw trace and resample it to ``seq_length`` points.
 
     Semantics (reference data.py:234-323):
@@ -29,6 +30,12 @@ def normalize_gesture(raw: RawGesture, seq_length: int = 128) -> np.ndarray:
         (so time becomes non-uniform, encoding the velocity profile);
       * traces whose total arc length < 1e-6 collapse to a repeated first
         point with a uniform time ramp.
+
+    ``time64=True`` does the duration math in float64 before narrowing —
+    the fix for the reference defect documented below (the variable-length
+    pipeline always does this; here it is opt-in to preserve bit parity by
+    default). See ARCHITECTURE.md "Timing dynamics study" for the measured
+    effect.
     """
     pts64 = raw.points
     if len(pts64) < 2:
@@ -37,13 +44,26 @@ def normalize_gesture(raw: RawGesture, seq_length: int = 128) -> np.ndarray:
     points = np.empty((len(pts64), 3), dtype=np.float32)
     points[:, 0] = (pts64[:, 0] / raw.keyb_width) * 2.0 - 1.0
     points[:, 1] = (pts64[:, 1] / raw.keyb_height) * 2.0 - 1.0
+
+    if time64:
+        t64 = np.asarray(pts64[:, 2], np.float64)
+        duration64 = t64[-1] - t64[0]
+        if duration64 > 0:
+            points[:, 2] = (t64 - t64[0]) / duration64
+        else:
+            points[:, 2] = np.linspace(0, 1, len(points))
+        if len(points) == seq_length:
+            return points
+        return _resample_trace(points, seq_length)
+
     # KNOWN REFERENCE DEFECT, kept for bit parity (data.py:267-277): raw
     # Unix-epoch-ms timestamps are narrowed to float32 BEFORE the duration
     # subtraction. float32 spacing at ~1.6e12 is 131072 ms, so every real
     # swipelog gesture shorter than ~2 min collapses to duration 0 and takes
     # the uniform-ramp else-branch below — the reference's published timing
     # metrics are computed on exactly this fallback. The variable-length
-    # pipeline (no parity mandate) does the time math in float64 instead.
+    # pipeline (no parity mandate) does the time math in float64 instead;
+    # the fixed-length pipeline offers it via ``time64=True``.
     points[:, 2] = pts64[:, 2]
 
     start, end = points[0, 2], points[-1, 2]

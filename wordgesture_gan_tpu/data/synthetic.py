@@ -249,13 +249,25 @@ def generate_log_content(
     error_rate: float = 0.03,
     word_probs: Optional[np.ndarray] = None,
     malformed_rate: float = 0.002,
+    epoch_clock: bool = True,
 ) -> str:
     """One user's `.log` file content (header + event rows). All traces share
     one sampled :class:`UserStyle`; a small fraction of rows is malformed
     (zero keyboard width / garbage fields) to exercise the pipeline's
-    per-file guards the way real logs do."""
+    per-file guards the way real logs do.
+
+    ``epoch_clock`` starts each session at a Unix-epoch-millisecond base
+    (~1.6e12), as the real swipelogs do — which is what exposes the
+    reference pipeline's float32-timestamp collapse (preprocess.py:40-47):
+    float32 spacing at 1.6e12 is 131072 ms, so every sub-2-minute gesture's
+    duration rounds to 0 there. Set False for small session-relative clocks
+    (no collapse; pre-round-3 generator behavior)."""
     lines = [HEADER]
     clock = float(rng.integers(10_000, 50_000))
+    if epoch_clock:
+        # A random instant in 2020-2021, in ms — same magnitude as the real
+        # "How We Swipe" logs' touch timestamps.
+        clock += 1.577e12 + float(rng.integers(0, 31_536_000_000))
     style = sample_user_style(rng)
 
     for sent_idx in range(n_sentences):
@@ -301,6 +313,7 @@ def write_synthetic_swipelogs_zip(
     n_sentences: int = 8,
     words_per_sentence: int = 5,
     max_vocab: int = 500,
+    epoch_clock: bool = True,
 ) -> str:
     """Write a synthetic ``swipelogs.zip`` with ``n_users`` `.log` members."""
     keyboard = QWERTYKeyboard()
@@ -314,7 +327,7 @@ def write_synthetic_swipelogs_zip(
             content = generate_log_content(
                 keyboard, words, rng,
                 n_sentences=n_sentences, words_per_sentence=words_per_sentence,
-                word_probs=probs,
+                word_probs=probs, epoch_clock=epoch_clock,
             )
             zf.writestr(f"user{u:04d}.log", content)
     return out_path
