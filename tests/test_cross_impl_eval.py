@@ -25,7 +25,7 @@ from cross_impl_utils import (  # noqa: E402
     torch_state_dict_numpy,
 )
 
-pytestmark = pytest.mark.skipif(not REF.exists(), reason="reference checkout not available")
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(not REF.exists(), reason="reference checkout not available")]
 
 N, L = 48, 32
 
@@ -77,7 +77,11 @@ def our_results(arrays):
     return evaluate_all_metrics(
         real, fake, train_gestures=train,
         model_config=ModelConfig(seq_length=L),
-        eval_config=EvaluationConfig(),
+        # Parity harness: pin the reference's paper AE decoder so the two
+        # independently trained feature spaces are the same architecture
+        # (the framework default, "positional", is a deliberate divergence —
+        # see configs.py).
+        eval_config=EvaluationConfig(fid_feature_mode="paper"),
         verbose=False,
     )
 

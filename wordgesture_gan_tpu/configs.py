@@ -111,6 +111,15 @@ class EvaluationConfig:
     fid_autoencoder_epochs: int = 100
     fid_autoencoder_lr: float = 1e-3
     fid_hidden_dim: int = 32
+    # Framework extension (not a reference field): "positional" adds a time
+    # ramp to the FID AE decoder so the encoder must embed gesture SHAPE —
+    # the reference/paper decoder ("paper") broadcasts the latent with no
+    # positional signal, can only emit a constant trace (reconstruction
+    # floor ≈ per-gesture mean abs deviation, 0.25 on synthetic data), and
+    # yields features near-blind to shape/timing (FID ≈ 0 for generators
+    # that merely match the mean-point distribution). Same encoder topology
+    # and feature dimensionality in both modes.
+    fid_feature_mode: str = "positional"   # "positional" | "paper"
 
     # k-NN manifold precision/recall
     precision_recall_k: int = 3

@@ -35,6 +35,7 @@ def _ae_cache_path(train_data: np.ndarray, eval_config: EvaluationConfig,
         eval_config.fid_hidden_dim,
         eval_config.fid_autoencoder_lr,
         eval_config.fid_autoencoder_epochs,
+        getattr(eval_config, "fid_feature_mode", "paper"),
     )).encode())
     h.update(np.ascontiguousarray(train_data[::stride]).tobytes())
     return Path(cache_dir) / f".cache_fid_ae_{h.hexdigest()[:12]}.pkl"
@@ -54,7 +55,9 @@ def train_fid_autoencoder(
     torch loader's drop_last=False). Returns (params, final epoch loss)."""
     key = jax.random.PRNGKey(seed)
     key, init_key = jax.random.split(key)
-    params = autoencoder_init(init_key, model_config, eval_config.fid_hidden_dim)
+    positional = getattr(eval_config, "fid_feature_mode", "paper") == "positional"
+    params = autoencoder_init(init_key, model_config, eval_config.fid_hidden_dim,
+                              positional=positional)
     tx = optax.adam(eval_config.fid_autoencoder_lr)
     opt_state = tx.init(params)
 
@@ -93,6 +96,19 @@ def train_fid_autoencoder(
     final_loss = float(epoch_losses[-1])
     if verbose:
         print(f"  FID autoencoder trained: final L1 {final_loss:.4f}")
+    if final_loss > 0.1:
+        mode = getattr(eval_config, "fid_feature_mode", "paper")
+        floor = float(np.abs(train_data - np.median(train_data, axis=1, keepdims=True)).mean())
+        print(
+            f"  WARNING: FID feature AE reconstruction L1 {final_loss:.3f} is weak "
+            f"(constant-trace floor on this data: {floor:.3f}, mode={mode!r}). "
+            + ("The paper decoder has no positional signal and cannot beat that "
+               "floor — its features only encode each gesture's central point, so "
+               "FID comparisons are near-blind to shape/timing. Use "
+               "fid_feature_mode='positional' for an informative feature space."
+               if mode == "paper" else
+               "FID comparisons on this feature space may be unreliable.")
+        )
     return params, final_loss
 
 

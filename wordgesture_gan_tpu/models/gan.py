@@ -289,9 +289,27 @@ def disc_apply(params, state, x, update_stats: bool, config: ModelConfig = DEFAU
 _AE_DIMS = (192, 96, 48)
 
 
-def autoencoder_init(key, config: ModelConfig = DEFAULT_MODEL_CONFIG, hidden_dim: int = 32) -> Dict:
+def autoencoder_init(key, config: ModelConfig = DEFAULT_MODEL_CONFIG, hidden_dim: int = 32,
+                     positional: bool = False) -> Dict:
+    """FID feature autoencoder.
+
+    ``positional=False`` is the paper/reference architecture
+    (models.py:356-450) — note its decoder broadcasts the latent identically
+    to every timestep with NO positional signal, so it can only emit a
+    constant trace: reconstruction L1 is floor-bounded by the per-gesture
+    mean absolute deviation (~0.25 on synthetic data), and the encoder is
+    only ever trained to encode the gesture's central point, which makes
+    FID near-blind to shape/timing differences.
+
+    ``positional=True`` concatenates a normalized time ramp to the decoder's
+    per-timestep input, so the decoder can emit time-varying traces and the
+    encoder must embed actual gesture shape — same encoder (and therefore
+    the same 32-d FID feature space dimensionality), strictly more
+    informative features. The mode is recoverable from the params (first
+    decoder layer's fan-in)."""
     enc_dims = (config.input_dim,) + _AE_DIMS + (hidden_dim,)
-    dec_dims = (hidden_dim,) + _AE_DIMS[::-1] + (config.input_dim,)
+    dec_in = hidden_dim + (1 if positional else 0)
+    dec_dims = (dec_in,) + _AE_DIMS[::-1] + (config.input_dim,)
     keys = jax.random.split(key, len(enc_dims) + len(dec_dims))
     ki = iter(keys)
     return {
@@ -317,6 +335,12 @@ def autoencoder_encode(params, x: jnp.ndarray) -> jnp.ndarray:
 def autoencoder_decode(params, z: jnp.ndarray, seq_length: int) -> jnp.ndarray:
     h = dense(params["pre_expand"], z)
     h = jnp.broadcast_to(h[:, None, :], (h.shape[0], seq_length, h.shape[1]))
+    if params["dec"][0]["w"].shape[0] == h.shape[-1] + 1:
+        # Positional mode (see autoencoder_init): a [-1, 1] time ramp joins
+        # the broadcast latent so each timestep decodes differently.
+        ramp = jnp.linspace(-1.0, 1.0, seq_length, dtype=h.dtype)
+        ramp = jnp.broadcast_to(ramp[None, :, None], (h.shape[0], seq_length, 1))
+        h = jnp.concatenate([h, ramp], axis=-1)
     for i, layer in enumerate(params["dec"]):
         h = dense(layer, h)
         if i < len(params["dec"]) - 1:
