@@ -20,6 +20,17 @@ import pytest
 
 def pytest_configure(config):
     config.addinivalue_line("markers", "multichip: exercises the multi-device sharded path")
+    config.addinivalue_line("markers", "slow: heavy test (excluded from the smoke tier)")
+    config.addinivalue_line("markers", "smoke: fast tier — `pytest -m smoke` runs in <2 min")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Every test not marked slow belongs to the smoke tier, so
+    `pytest -m smoke` gives a fast regression pass without per-test
+    bookkeeping."""
+    for item in items:
+        if "slow" not in item.keywords:
+            item.add_marker(pytest.mark.smoke)
 
 
 @pytest.fixture(scope="session")

@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from wordgesture_gan_tpu.configs import ModelConfig, TrainingConfig
 from wordgesture_gan_tpu.models.gan import generator_apply
 from wordgesture_gan_tpu.models.layers import bilstm_apply, bilstm_init

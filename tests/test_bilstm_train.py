@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from wordgesture_gan_tpu.models.layers import bilstm_apply, bilstm_init
 from wordgesture_gan_tpu.ops.bilstm_train import bilstm_train_apply
 

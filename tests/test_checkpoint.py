@@ -8,6 +8,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from wordgesture_gan_tpu.configs import ModelConfig, RuntimeConfig, TrainingConfig
 from wordgesture_gan_tpu.data.pipeline import GestureArrays
 from wordgesture_gan_tpu.train.checkpoint import (

@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from wordgesture_gan_tpu.configs import ContrastiveConfig
 from wordgesture_gan_tpu.data.contrastive import (
     ContrastiveArrays,

@@ -38,7 +38,7 @@ from cross_impl_utils import (  # noqa: E402
     torch_state_dict_numpy,
 )
 
-pytestmark = pytest.mark.skipif(not REF.exists(), reason="reference checkout not available")
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(not REF.exists(), reason="reference checkout not available")]
 
 B, L, Z = 8, 32, 16
 N_CRITIC = 3

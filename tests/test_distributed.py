@@ -79,3 +79,46 @@ def test_chunk_layout_and_padding():
     assert p.shape == (8, 2)
     np.testing.assert_array_equal(p[:5], a)
     assert (p[5:] == 0).all()
+
+
+def test_two_process_execution():
+    """Execution coverage for maybe_init_distributed (VERDICT item 5): spawn
+    two real processes, join one distributed runtime over localhost, and run
+    a jitted data-sharded grad step whose all-reduce crosses the process
+    boundary (gloo CPU collectives). See tests/_distributed_worker.py."""
+    import socket
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    worker = Path(__file__).parent / "_distributed_worker.py"
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.update(
+            JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(pid),
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+        )
+        procs.append(subprocess.Popen(
+            [sys.executable, str(worker)], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        ))
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("distributed worker timed out")
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out}"
+        assert f"worker {pid} OK" in out, out

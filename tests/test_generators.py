@@ -48,6 +48,7 @@ def test_variant_contract(inputs, gen_type):
 
 
 @pytest.mark.parametrize("gen_type", ["mlp", "transformer"])
+@pytest.mark.slow
 def test_variant_trains_through_two_cycle_step(inputs, gen_type):
     proto, z = inputs
     mcfg = _cfg(gen_type)

@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from wordgesture_gan_tpu.metrics.large_scale import (
     chunked_knn_precision_recall,
     energy_distance,

@@ -82,9 +82,6 @@ def test_dtw_vs_fastdtw_close(gesture_sets):
     rel = (approx - ours) / np.maximum(ours, 1e-9)
     assert rel.mean() < 0.05
     assert rel.max() < 0.25
-    # close agreement on smooth traces
-    rel = np.abs(ours - approx) / np.maximum(approx, 1e-9)
-    assert rel.mean() < 0.05
 
 
 def test_dtw_distance_matrix_chunking(gesture_sets):
@@ -251,6 +248,7 @@ def test_frechet_distance_matches_scipy():
 # --- full suite smoke ------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_evaluate_all_metrics_smoke(gesture_sets):
     from wordgesture_gan_tpu.configs import EvaluationConfig
     from wordgesture_gan_tpu.metrics import evaluate_all_metrics
@@ -272,6 +270,7 @@ def test_evaluate_all_metrics_smoke(gesture_sets):
     assert res2["precision"] == pytest.approx(res["precision"])
 
 
+@pytest.mark.slow
 def test_evaluate_all_metrics_mismatched_counts(gesture_sets):
     """Unequal real/fake counts must be truncated to the smaller set, not
     silently scrambled by a reshape with the wrong row count."""
@@ -290,6 +289,7 @@ def test_evaluate_all_metrics_mismatched_counts(gesture_sets):
     assert res_mix["precision"] == pytest.approx(res_eq["precision"])
 
 
+@pytest.mark.slow
 def test_evaluate_metrics_uses_array_seq_length(gesture_sets):
     """DTW normalization and the savgol gate key off the ARRAYS' L, not
     ModelConfig.seq_length."""
@@ -338,24 +338,6 @@ def test_pallas_dtw_kernel_matches_xla(gesture_sets):
     ref = np.asarray(dtw_pairs(x, y))
     out = np.asarray(dtw_pairs_pallas(x, y, pair_tile=8, interpret=True))
     np.testing.assert_allclose(out, ref, rtol=1e-3)
-
-
-def test_pallas_lstm_kernels_match_xla():
-    """Both Pallas LSTM recurrence variants (interpret mode) vs the XLA scan."""
-    from wordgesture_gan_tpu.models.layers import bilstm_apply, bilstm_init
-    from wordgesture_gan_tpu.ops.lstm_pallas import (
-        bilstm_apply_pallas,
-        bilstm_apply_pallas_dma,
-    )
-
-    key = jax.random.PRNGKey(0)
-    layers = bilstm_init(key, 10, 16, 2)
-    x = jax.random.normal(jax.random.PRNGKey(1), (4, 32, 10))
-    ref = np.asarray(bilstm_apply(layers, x, 16))
-    tiled = np.asarray(bilstm_apply_pallas(layers, x, 16, interpret=True))
-    np.testing.assert_allclose(tiled, ref, atol=1e-5)
-    dma = np.asarray(bilstm_apply_pallas_dma(layers, x, 16, interpret=True))
-    np.testing.assert_allclose(dma, ref, atol=1e-5)
 
 
 def test_batched_resample_matches_host():

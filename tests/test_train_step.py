@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from wordgesture_gan_tpu.configs import ModelConfig, TrainingConfig
 from wordgesture_gan_tpu.parallel import batch_sharding, create_mesh, replicate, shard_batch
 from wordgesture_gan_tpu.train import (

@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from wordgesture_gan_tpu.configs import ModelConfig, TrainingConfig
 from wordgesture_gan_tpu.data.parse import RawGesture
 from wordgesture_gan_tpu.data.variable_length import (
