@@ -36,6 +36,12 @@ def main() -> None:
     parser.add_argument("--precision-k", type=int, default=3)
     parser.add_argument("--wandb", action="store_true")
     parser.add_argument("--fast", action="store_true", help="skip DTW Wasserstein")
+    parser.add_argument("--fid-features", choices=["positional", "paper"],
+                        default="positional",
+                        help="FID feature AE decoder: 'positional' (shape-aware "
+                             "features; default) or 'paper' (reference parity — "
+                             "constant-trace decoder, features near-blind to "
+                             "shape/timing)")
     parser.add_argument("--large-scale", type=int, default=0, metavar="N",
                         help="distribution metrics at scale: generate N gestures "
                              "(e.g. 100000) and evaluate with sliced-W2 / energy "
@@ -77,6 +83,7 @@ def main() -> None:
         truncation=args.truncation,
         savgol_window=args.savgol_window,
         precision_recall_k=args.precision_k,
+        fid_feature_mode=args.fid_features,
     )
 
     if args.variable_length:
@@ -180,10 +187,14 @@ def main() -> None:
         wb = maybe_wandb(True, project=PathsConfig().wandb_project,
                          name=None if train_run_id else "eval_standalone",
                          id=train_run_id, resume="allow" if train_run_id else None)
-        if wb is not None and gan_results:
-            for key, val in gan_results.items():
-                if isinstance(val, float):
-                    wb.summary[f"eval/{key}"] = val
+        if wb is not None:
+            # GAN scalars + comparison/overlay figures into the resumed run
+            # (reference eval_gan.py:160-184) plus the min-jerk table the
+            # reference computes but never logs.
+            from wordgesture_gan_tpu.eval.gan_eval import attach_eval_to_wandb
+
+            attach_eval_to_wandb(wb, gan_results, minjerk_results,
+                                 real_g=real_g, gan_fake=gan_fake, words=words)
             wb.finish()
 
     log("")

@@ -56,3 +56,42 @@ def test_step_timer_context():
         pass
     assert timer.last >= 0
     assert np.isfinite(timer.mean)
+
+
+def test_attach_eval_to_wandb_logs_scalars_and_figures():
+    """Eval-time W&B parity (reference eval_gan.py:160-184): GAN scalars
+    under eval/, min-jerk under eval_minjerk/, and the two figures — driven
+    through a stub wandb module."""
+    import numpy as np
+
+    from wordgesture_gan_tpu.eval.gan_eval import attach_eval_to_wandb
+
+    class StubWandb:
+        def __init__(self):
+            self.summary = {}
+            self.logged = {}
+
+        def log(self, d):
+            self.logged.update(d)
+
+        @staticmethod
+        def Image(fig):
+            return ("image", type(fig).__name__)
+
+    wb = StubWandb()
+    rng = np.random.default_rng(0)
+    real = rng.uniform(-1, 1, (8, 32, 3)).astype(np.float32)
+    fake = rng.uniform(-1, 1, (8, 32, 3)).astype(np.float32)
+    gan_results = {"l2_wasserstein": 1.5, "fid": 0.2, "_cached_real": object()}
+    mj_results = {"l2_wasserstein": 2.5, "jerk_fake": 0.003}
+
+    attach_eval_to_wandb(wb, gan_results, mj_results, real_g=real,
+                         gan_fake=fake, words=["alpha", "beta"])
+
+    assert wb.summary["eval/l2_wasserstein"] == 1.5
+    assert wb.summary["eval/fid"] == 0.2
+    assert "eval/_cached_real" not in wb.summary
+    assert wb.summary["eval_minjerk/l2_wasserstein"] == 2.5
+    assert wb.summary["eval_minjerk/jerk_fake"] == 0.003
+    assert "gestures/comparison" in wb.logged
+    assert "gestures/overlay" in wb.logged

@@ -157,3 +157,35 @@ def print_comparison_table(gan_results: Dict, minjerk_results: Dict,
     log(f'{f"Precision (k={precision_k})":<30} {gan_results["precision"]:>15.3f} {minjerk_results["precision"]:>15.3f} {pg["precision"]:>12} {pm["precision"]:>12}')
     log(f'{f"Recall (k={precision_k})":<30} {gan_results["recall"]:>15.3f} {minjerk_results["recall"]:>15.3f} {pg["recall"]:>12} {pm["recall"]:>12}')
     log("=" * 90)
+
+
+def attach_eval_to_wandb(wb, gan_results=None, minjerk_results=None,
+                         real_g=None, gan_fake=None, words=()) -> None:
+    """Attach eval scalars and figures to a (resumed) W&B run.
+
+    Mirrors the reference's eval-time logging (eval_gan.py:160-184: GAN
+    scalars + comparison/overlay figures) and additionally logs the min-jerk
+    metric table under ``eval_minjerk/`` (the reference computes but never
+    logs it). ``wb`` is the wandb module as returned by
+    ``cli_common.maybe_wandb``."""
+    if gan_results:
+        for key, val in gan_results.items():
+            if isinstance(val, float):
+                wb.summary[f"eval/{key}"] = val
+    if minjerk_results:
+        for key, val in minjerk_results.items():
+            if isinstance(val, float):
+                wb.summary[f"eval_minjerk/{key}"] = val
+    if gan_fake is not None and real_g is not None:
+        import matplotlib.pyplot as plt
+
+        from ..viz import create_comparison_figure, create_overlay_figure
+
+        words = list(words)
+        fig = create_comparison_figure(real_g[:6], gan_fake[:6], words[:6])
+        wb.log({"gestures/comparison": wb.Image(fig)})
+        plt.close(fig)
+        fig = create_overlay_figure(real_g[:5], gan_fake[:5],
+                                    words[0] if words else "sample")
+        wb.log({"gestures/overlay": wb.Image(fig)})
+        plt.close(fig)
