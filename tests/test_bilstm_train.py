@@ -51,6 +51,27 @@ def test_train_grads_match_scan(num_layers):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-5)
 
 
+def test_train_grads_odd_seq_len():
+    """Odd L exercises the middle sweep step (t == p) where both input-
+    gradient contributions land on the same accumulator row in one
+    iteration (dxf assigns, dxb adds)."""
+    layers, x, z, H = _setup(2, B=4, L=9, seed=5)
+    rng = np.random.default_rng(15)
+    dy = jnp.asarray(rng.normal(size=(4, 9, 2 * H)), jnp.float32)
+
+    def loss_ref(layers, x, z):
+        return jnp.sum(bilstm_apply(layers, x, H, static=z) * dy)
+
+    def loss_fused(layers, x, z):
+        return jnp.sum(
+            bilstm_train_apply(layers, x, z, H, dtype=jnp.float32, interpret=True) * dy)
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(layers, x, z)
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(layers, x, z)
+    for a, b in zip(jax.tree.leaves(gr), jax.tree.leaves(gf)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-5)
+
+
 def test_train_grads_batch_padding():
     """Lane padding must not leak into the gradients (padded lanes carry
     zero cotangent)."""

@@ -206,9 +206,9 @@ def _fwd_call(proto_t, base1, wseq1, whh, wseq, bias, hidden: int,
 def _bwd_kernel(res_ref, dy_ref, proto_ref, z_ref, whh_m_ref, wseq_m_ref, wstat_ref,
                 wp_m_ref,
                 dwhh_ref, dwih_ref, dwp_ref, dwz_ref, dbias_ref, dz_ref,
-                dxf_a, dxb_a, dxf_b, dxb_b, dpf_ref, dpb_ref,
-                res_buf, dyin_buf, xin_buf, dxout_buf, dpout_buf, dgsum,
-                res_sem, dyin_sem, xin_sem, dxout_sem, dpout_sem,
+                dpf_ref, dpb_ref,
+                res_buf, xin_buf, dpout_buf, dgsum, dacc,
+                res_sem, xin_sem, dpout_sem, dy_sem,
                 *, seq_len: int, hidden: int, num_layers: int, dtype):
     """Reverse sweep. Shapes:
       res_ref  (layers, 2, L, 6H, B)  forward residuals (HBM)
@@ -220,9 +220,19 @@ def _bwd_kernel(res_ref, dy_ref, proto_ref, z_ref, whh_m_ref, wseq_m_ref, wstat_
                                       2:16 zero-padded)
       outputs: dwhh (layers, 2, H, 4H), dwih (layers-1, 2, 2H, 4H),
                dwp (2, 16, 4H), dwz (2, Dz, 4H), dbias (layers, 2, 4H, 1),
-               dz (Dz, B), 2 ping-pong pairs of (L, 2H, B) input-gradient
-               streams (dxf_*/dxb_* — fwd/bwd-direction contributions), and
-               the prototype-gradient streams dpf/dpb (L, 16, B).
+               dz (Dz, B), and the prototype-gradient streams dpf/dpb
+               (L, 16, B).
+
+    Inter-layer gradient flow never touches HBM: ``dacc`` is a VMEM
+    ping-pong pair of (L, 2H, B) accumulators. dY is DMA'd into dacc[0]
+    once up front, so the top layer reads it exactly like every lower layer
+    reads its predecessor's accumulated input gradients; layer k adds its
+    two per-direction input-gradient contributions into the write buffer
+    in place (each position receives exactly two — dxf at sweep index
+    L-1-x, dxb at index x — so the first touch assigns, the second adds).
+    This replaced four HBM (L, 2H, B) ping-pong streams plus 6 DMA
+    issues/step (4 dyin reads + 2 dxout writes); measured ~0.3 ms off the
+    fwd+bwd pair at B=512 bf16.
     """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -234,13 +244,16 @@ def _bwd_kernel(res_ref, dy_ref, proto_ref, z_ref, whh_m_ref, wseq_m_ref, wstat_
     f32 = jnp.float32
     one = jnp.float32(1.0)
 
+    # Preload dY into accumulator 0 (the top layer's read buffer).
+    pltpu.make_async_copy(dy_ref, dacc.at[0], dy_sem).start()
+    pltpu.make_async_copy(dy_ref, dacc.at[0], dy_sem).wait()
+
     for k in range(num_layers - 1, -1, -1):
-        top = k == num_layers - 1
-        # Ping-pong: layer k writes pair (A if (num_layers-1-k) even else B)
-        # and reads the pair written by layer k+1.
-        write_a = (num_layers - 1 - k) % 2 == 0
-        dxf_w, dxb_w = (dxf_a, dxb_a) if write_a else (dxf_b, dxb_b)
-        dxf_r, dxb_r = (dxf_b, dxb_b) if write_a else (dxf_a, dxb_a)
+        # Ping-pong: layer k reads the accumulator its successor wrote
+        # (dacc[0] holds dY for the top layer) and accumulates into the
+        # other one.
+        ridx = (num_layers - 1 - k) % 2
+        widx = 1 - ridx
 
         def pos(d, u):
             # Direction d's residual position at sweep iteration u.
@@ -253,27 +266,6 @@ def _bwd_kernel(res_ref, dy_ref, proto_ref, z_ref, whh_m_ref, wseq_m_ref, wstat_
                                       res_buf.at[slot, 0], res_sem.at[slot, 0]),
                 pltpu.make_async_copy(res_ref.at[k, 1, pos(1, u)],
                                       res_buf.at[slot, 1], res_sem.at[slot, 1]),
-            )
-
-        def copy_dyin(slot, u, k=k, top=top):
-            # Incoming dY rows: direction d needs its H-row half at pos(d, u).
-            t, p = pos(0, u), pos(1, u)
-            if top:
-                return (
-                    pltpu.make_async_copy(dy_ref.at[t, 0:H],
-                                          dyin_buf.at[slot, 0, 0], dyin_sem.at[slot, 0, 0]),
-                    pltpu.make_async_copy(dy_ref.at[p, H:2 * H],
-                                          dyin_buf.at[slot, 1, 0], dyin_sem.at[slot, 1, 0]),
-                )
-            return (
-                pltpu.make_async_copy(dxf_r.at[t, 0:H],
-                                      dyin_buf.at[slot, 0, 0], dyin_sem.at[slot, 0, 0]),
-                pltpu.make_async_copy(dxb_r.at[t, 0:H],
-                                      dyin_buf.at[slot, 0, 1], dyin_sem.at[slot, 0, 1]),
-                pltpu.make_async_copy(dxf_r.at[p, H:2 * H],
-                                      dyin_buf.at[slot, 1, 0], dyin_sem.at[slot, 1, 0]),
-                pltpu.make_async_copy(dxb_r.at[p, H:2 * H],
-                                      dyin_buf.at[slot, 1, 1], dyin_sem.at[slot, 1, 1]),
             )
 
         def copy_xin(slot, u, k=k):
@@ -289,15 +281,6 @@ def _bwd_kernel(res_ref, dy_ref, proto_ref, z_ref, whh_m_ref, wseq_m_ref, wstat_
                                       xin_buf.at[slot, 1, 0:H], xin_sem.at[slot, 1, 0]),
                 pltpu.make_async_copy(res_ref.at[k - 1, 1, p, 0:H],
                                       xin_buf.at[slot, 1, H:2 * H], xin_sem.at[slot, 1, 1]),
-            )
-
-        def copy_dxout(slot, u, k=k, dxf_w=dxf_w, dxb_w=dxb_w):
-            t, p = pos(0, u), pos(1, u)
-            return (
-                pltpu.make_async_copy(dxout_buf.at[slot, 0], dxf_w.at[t],
-                                      dxout_sem.at[slot, 0]),
-                pltpu.make_async_copy(dxout_buf.at[slot, 1], dxb_w.at[p],
-                                      dxout_sem.at[slot, 1]),
             )
 
         def copy_dpout(slot, u):
@@ -322,21 +305,20 @@ def _bwd_kernel(res_ref, dy_ref, proto_ref, z_ref, whh_m_ref, wseq_m_ref, wstat_
         dwhh_ref[k, 0] = jnp.zeros((H, 4 * H), f32)
         dwhh_ref[k, 1] = jnp.zeros((H, 4 * H), f32)
 
-        # Prologue: residual row for u=0 (synchronous), dyin/xin for u=0.
+        # Prologue: residual row for u=0 (synchronous), xin for u=0.
         for d in copy_res(0, 0):
             d.start()
         for d in copy_res(0, 0):
             d.wait()
-        for d in copy_dyin(0, 0):
-            d.start()
         if k > 0:
             for d in copy_xin(0, 0):
                 d.start()
 
-        def step(u, carry, k=k, top=top):
+        def step(u, carry, k=k, ridx=ridx, widx=widx):
             dh_f, dc_f, dh_b, dc_b = carry
             slot = jax.lax.rem(u, 2)
             nslot = jax.lax.rem(u + 1, 2)
+            t, p = pos(0, u), pos(1, u)
 
             # Prefetch next iteration's rows (the residual row doubles as
             # this iteration's "previous internal step" row).
@@ -344,21 +326,14 @@ def _bwd_kernel(res_ref, dy_ref, proto_ref, z_ref, whh_m_ref, wseq_m_ref, wstat_
             def _():
                 for d in copy_res(nslot, u + 1):
                     d.start()
-                for d in copy_dyin(nslot, u + 1):
-                    d.start()
                 if k > 0:
                     for d in copy_xin(nslot, u + 1):
                         d.start()
 
-            # Incoming dY for this step.
-            for d in copy_dyin(slot, u):
-                d.wait()
-            if top:
-                dy_f = dyin_buf[slot, 0, 0].astype(f32)
-                dy_b = dyin_buf[slot, 1, 0].astype(f32)
-            else:
-                dy_f = dyin_buf[slot, 0, 0].astype(f32) + dyin_buf[slot, 0, 1].astype(f32)
-                dy_b = dyin_buf[slot, 1, 0].astype(f32) + dyin_buf[slot, 1, 1].astype(f32)
+            # Incoming dY for this step: direction d's H-row half at its
+            # pos(d, u), straight out of the read accumulator (VMEM).
+            dy_f = dacc[ridx, t, 0:H].astype(f32)
+            dy_b = dacc[ridx, p, H:2 * H].astype(f32)
 
             # Gate-gradient reconstruction needs c_prev (previous internal
             # step) — that's the row being prefetched; wait for it now.
@@ -414,20 +389,24 @@ def _bwd_kernel(res_ref, dy_ref, proto_ref, z_ref, whh_m_ref, wseq_m_ref, wstat_
                     xin_buf[slot, 1].astype(f32), dg_b, (((1,), (1,)), ((), ())),
                     preferred_element_type=f32)
 
-                @pl.when(u >= 2)
-                def _():
-                    for d in copy_dxout(slot, u - 2):
-                        d.wait()
-                dxout_buf[slot, 0] = jax.lax.dot(
+                # Input-gradient contributions, accumulated in the write
+                # buffer in place. Position t also receives a dxb
+                # contribution at sweep index t (= L-1-u); position p also
+                # receives a dxf contribution at index p (= u). Whichever
+                # lands first assigns, the other adds; at an odd-L middle
+                # step (t == p) the dxf write below executes first.
+                dxf = jax.lax.dot(
                     wseq_m_ref[k - 1, 0].astype(f32), dg_f,
                     preferred_element_type=f32).astype(dtype)  # (2H, B)
-                dxout_buf[slot, 1] = jax.lax.dot(
+                dxb = jax.lax.dot(
                     wseq_m_ref[k - 1, 1].astype(f32), dg_b,
                     preferred_element_type=f32).astype(dtype)
-                for d in copy_dxout(slot, u):
-                    d.start()
+                zero = jnp.zeros((), dtype)
+                dacc[widx, t] = dxf + jnp.where(2 * u <= L - 1, zero,
+                                                dacc[widx, t])
+                dacc[widx, p] = dxb + jnp.where(2 * u < L - 1, zero,
+                                                dacc[widx, p])
             else:
-                t, p = pos(0, u), pos(1, u)
                 pt_f = proto_ref[t].astype(f32)                # (16, B)
                 pt_b = proto_ref[p].astype(f32)
                 dwp_ref[0] += jax.lax.dot_general(
@@ -457,11 +436,7 @@ def _bwd_kernel(res_ref, dy_ref, proto_ref, z_ref, whh_m_ref, wseq_m_ref, wstat_
         z0 = jnp.zeros((H, B), f32)
         jax.lax.fori_loop(0, L, step, (z0, z0, z0, z0))
 
-        if k > 0:
-            for u in (L - 2, L - 1):
-                for d in copy_dxout(jax.lax.rem(u, 2), u):
-                    d.wait()
-        else:
+        if k == 0:
             for u in (L - 2, L - 1):
                 for d in copy_dpout(jax.lax.rem(u, 2), u):
                     d.wait()
@@ -506,10 +481,6 @@ def _bwd_call(res, dy_t, proto_t, z_t, whh_m, wseq_m, wstat, wp_m, hidden: int,
             jax.ShapeDtypeStruct((2, Dz, 4 * H), f32),                 # dwz
             jax.ShapeDtypeStruct((num_layers, 2, 4 * H, 1), f32),      # dbias
             jax.ShapeDtypeStruct((Dz, B), f32),                        # dz
-            jax.ShapeDtypeStruct((L, 2 * H, B), dtype),                # dxf_a
-            jax.ShapeDtypeStruct((L, 2 * H, B), dtype),                # dxb_a
-            jax.ShapeDtypeStruct((L, 2 * H, B), dtype),                # dxf_b
-            jax.ShapeDtypeStruct((L, 2 * H, B), dtype),                # dxb_b
             jax.ShapeDtypeStruct((L, 16, B), dtype),                   # dpf
             jax.ShapeDtypeStruct((L, 16, B), dtype),                   # dpb
         ),
@@ -532,27 +503,27 @@ def _bwd_call(res, dy_t, proto_t, z_t, whh_m, wseq_m, wstat, wp_m, hidden: int,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
         ),
         scratch_shapes=[
             pltpu.VMEM((2, 2, 6 * hidden, B), dtype),     # res_buf
-            pltpu.VMEM((2, 2, 2, hidden, B), dtype),      # dyin_buf
             pltpu.VMEM((2, 2, 2 * hidden, B), dtype),     # xin_buf
-            pltpu.VMEM((2, 2, 2 * hidden, B), dtype),     # dxout_buf
             pltpu.VMEM((2, 2, 16, B), dtype),             # dpout_buf
             pltpu.VMEM((2, 4 * hidden, B), f32),          # dgsum
+            pltpu.VMEM((2, L, 2 * hidden, B), dtype),     # dacc
             pltpu.SemaphoreType.DMA((2, 2)),              # res_sem
-            pltpu.SemaphoreType.DMA((2, 2, 2)),           # dyin_sem
             pltpu.SemaphoreType.DMA((2, 2, 2)),           # xin_sem
-            pltpu.SemaphoreType.DMA((2, 2)),              # dxout_sem
             pltpu.SemaphoreType.DMA((2, 2)),              # dpout_sem
+            pltpu.SemaphoreType.DMA(()),                  # dy_sem
         ],
+        # The dacc ping-pong pair alone is ~2·L·2H·B·itemsize (25 MB at
+        # B=512 bf16) — past the default 16 MB scoped-vmem cap, well inside
+        # the chip's 128 MB VMEM. Budget: dacc + the small double buffers
+        # + headroom for compiler temporaries.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )(res, dy_t, proto_t, z_t, whh_m, wseq_m, wstat, wp_m)
-    return outs[:6] + (outs[10], outs[11])
+    return outs[:6] + (outs[6], outs[7])
 
 
 # ---------------------------------------------------------------------------
