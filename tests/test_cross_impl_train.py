@@ -57,7 +57,12 @@ def _configs(use_temporal_disc: bool):
         use_temporal_disc=use_temporal_disc, prototype_has_time=False,
     )
     tkw = dict(n_critic=N_CRITIC, grad_clip_norm=1.0)
-    return RefMC(**kw), RefTC(**tkw), ModelConfig(**kw), TrainingConfig(**tkw)
+    # Bit-parity mode: two sequential spectral-norm forwards per critic
+    # update, matching torch's per-forward power-iteration advance (the
+    # production default fuses them into one (real ++ fake) forward, which
+    # halves the u-advance rate — see TrainingConfig.fused_critic_forward).
+    return (RefMC(**kw), RefTC(**tkw), ModelConfig(**kw),
+            TrainingConfig(**tkw, fused_critic_forward=False))
 
 
 def _fresh_stacks(use_temporal: bool):

@@ -124,7 +124,7 @@ def test_per_step_loop_matches_epoch_scan(state):
         traces.append(m)
 
     for a, b in zip(jax.tree.leaves(scanned_state), jax.tree.leaves(dict(s, epoch=s["epoch"] + 1))):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4)
     for k_ in scanned_traces:
         np.testing.assert_allclose(
             np.asarray(scanned_traces[k_]),

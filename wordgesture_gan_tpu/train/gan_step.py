@@ -18,7 +18,10 @@ Gradient-flow semantics preserved exactly:
   * per-model global-norm clipping before each Adam update.
 
 Spectral-norm power iteration advances once per critic forward, threaded
-functionally (torch mutates buffers on every training forward).
+functionally (torch mutates buffers on every training forward). With
+``TrainingConfig.fused_critic_forward`` (the production default) each critic
+update scores (real ++ fake) in ONE forward — one u advance instead of the
+reference's two; set it False for bit-parity with the torch trainer.
 """
 
 from __future__ import annotations
@@ -41,16 +44,25 @@ from ..models.gan import disc_apply, encoder_apply, generator_apply
 from .state import apply_update, make_optimizer
 
 
-def _critic_update(disc, real, fake, tx, lr, model_config):
+def _critic_update(disc, real, fake, tx, lr, model_config, fused: bool = True):
     """One critic step: WGAN loss on (real, stop_grad(fake)), clip, Adam.
 
     ``disc`` is the {'params','opt','sn'} subtree; returns (new_disc, loss).
+    ``fused`` scores the concatenated (real ++ fake) batch in one forward
+    (one power-iteration advance); the unfused path reproduces the
+    reference's two sequential forwards exactly (TrainingConfig docstring).
     """
     fake = jax.lax.stop_gradient(fake)
+    nb = real.shape[0]
 
     def loss_fn(params, sn):
-        real_scores, _, sn = disc_apply(params, sn, real, True, model_config)
-        fake_scores, _, sn = disc_apply(params, sn, fake, True, model_config)
+        if fused:
+            scores, _, sn = disc_apply(
+                params, sn, jnp.concatenate([real, fake]), True, model_config)
+            real_scores, fake_scores = scores[:nb], scores[nb:]
+        else:
+            real_scores, _, sn = disc_apply(params, sn, real, True, model_config)
+            fake_scores, _, sn = disc_apply(params, sn, fake, True, model_config)
         return wgan_critic_loss(real_scores, fake_scores), sn
 
     (loss, new_sn), grads = jax.value_and_grad(loss_fn, has_aux=True)(disc["params"], disc["sn"])
@@ -134,8 +146,9 @@ def gan_train_step(
                 inference=True,
             )
             fake1, fake2 = fakes[:B], fakes[B:]
-            d1, d1_loss = _critic_update(d1, real, fake1, tx, lr, model_config)
-            d2, d2_loss = _critic_update(d2, real, fake2, tx, lr, model_config)
+            fused = training_config.fused_critic_forward
+            d1, d1_loss = _critic_update(d1, real, fake1, tx, lr, model_config, fused)
+            d2, d2_loss = _critic_update(d2, real, fake2, tx, lr, model_config, fused)
             return (d1, d2, d1_loss, d2_loss)
 
         carry0 = (state["d1"], state["d2"], jnp.float32(0), jnp.float32(0))
