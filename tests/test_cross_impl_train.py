@@ -167,6 +167,7 @@ def test_critic_forward_parity(stacks):
 
 @pytest.fixture(scope="module", params=[False, True], ids=["mlp_disc", "temporal_disc"])
 def stepped(request):
+    add_reference_to_path()   # so this fixture also works when run standalone
     from src.shared.utils import train_epoch_with_grad_clip
 
     from wordgesture_gan_tpu.train.gan_step import gan_train_step

@@ -211,11 +211,13 @@ class RuntimeConfig:
 
     # Epoch strategy: False (default) runs a host loop of per-batch jitted
     # steps; True fuses the whole epoch into one lax.scan program. Measured on
-    # v5e (58 × B=512 batches, bf16): per-step 20.3 ms/batch vs scanned
-    # 23.1 ms/batch — XLA schedules the isolated step better than the same
-    # step as a scan body, and the host dispatch is fully pipelined. The scan
-    # path remains for multi-chip runs where one program per epoch minimizes
-    # dispatch over DCN, and is what the multichip dryrun exercises.
+    # v5e (58 × B=512 batches, bf16): at round-2 kernels per-step won 20.3 vs
+    # 23.1 ms/batch; re-measured after the round-3 kernel work (unrolled
+    # critic loop, fused critic forward) the gap is a wash — 13.7 vs 13.4
+    # ms/batch. Default stays per-step for per-batch host visibility
+    # (loss logging, non-finite abort); scan is the multi-chip choice where
+    # one program per epoch minimizes dispatch over DCN, and is what the
+    # multichip dryrun exercises.
     scan_epoch: bool = False
 
 
