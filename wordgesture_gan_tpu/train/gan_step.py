@@ -18,10 +18,12 @@ Gradient-flow semantics preserved exactly:
   * per-model global-norm clipping before each Adam update.
 
 Spectral-norm power iteration advances once per critic forward, threaded
-functionally (torch mutates buffers on every training forward). With
-``TrainingConfig.fused_critic_forward`` (the production default) each critic
-update scores (real ++ fake) in ONE forward — one u advance instead of the
-reference's two; set it False for bit-parity with the torch trainer.
+functionally (torch mutates buffers on every training forward) and batched
+across layers (layers.batched_spectral_normalize). The default critic
+update reproduces the reference's two sequential forwards bit-exactly;
+``TrainingConfig.fused_critic_forward`` scores (real ++ fake) in ONE
+forward instead (one u advance; perf- and quality-neutral, see the config
+docstring).
 """
 
 from __future__ import annotations
