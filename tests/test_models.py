@@ -110,6 +110,46 @@ def test_spectral_norm_bounds_lipschitz(key):
     assert sv[0] == pytest.approx(1.0, abs=2e-2)
 
 
+def test_batched_spectral_normalize_matches_per_layer(key):
+    """The batched power iteration (zero-padded stacked layers, one set of
+    contractions) must reproduce the per-layer reference — normalized
+    weights, new u state, update=False mode, and gradients through σ."""
+    from wordgesture_gan_tpu.models.layers import (
+        batched_spectral_normalize,
+        spectral_init,
+        spectral_normalize,
+    )
+
+    shapes = [(15, 64), (320, 64), (192, 32), (256, 128), (128, 64), (64, 1)]
+    keys = jax.random.split(key, len(shapes))
+    ws = [jax.random.normal(k, s) * 0.8 for k, s in zip(keys, shapes)]
+    us = [spectral_init(jax.random.fold_in(k, 1), s) for k, s in zip(keys, shapes)]
+
+    for update in (True, False):
+        ws_b, us_b = batched_spectral_normalize(ws, us, update)
+        for w, u, wb, ub in zip(ws, us, ws_b, us_b):
+            w_ref, u_ref = spectral_normalize(w, u, update)
+            np.testing.assert_allclose(np.asarray(wb), np.asarray(w_ref),
+                                       rtol=2e-6, atol=2e-6)
+            np.testing.assert_allclose(np.asarray(ub), np.asarray(u_ref),
+                                       rtol=2e-6, atol=2e-6)
+
+    # Gradient through σ (stop-gradient'd u/v, live W) must also agree.
+    def loss_batched(ws):
+        out, _ = batched_spectral_normalize(ws, us, True)
+        return sum(jnp.sum(jnp.sin(w)) for w in out)
+
+    def loss_ref(ws):
+        return sum(jnp.sum(jnp.sin(spectral_normalize(w, u, True)[0]))
+                   for w, u in zip(ws, us))
+
+    g_b = jax.grad(loss_batched)(ws)
+    g_r = jax.grad(loss_ref)(ws)
+    for a, b in zip(g_b, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-5, atol=5e-6)
+
+
 def test_autoencoder(key, batch):
     gesture, _ = batch
     params = autoencoder_init(key, CFG, hidden_dim=32)

@@ -152,16 +152,10 @@ def sn_dense_init(key, in_dim: int, out_dim: int):
     return dense_init(kp, in_dim, out_dim), spectral_init(ku, (in_dim, out_dim))
 
 
-def sn_dense(params, u, x, update: bool, dtype=None):
-    """Spectral normalization runs in float32 (the power iteration's rsqrt is
-    precision-sensitive and O(fan_in·fan_out) — negligible); the matmul itself
-    runs in ``dtype`` when given (bf16 on the MXU)."""
-    w_sn, u_new = spectral_normalize(params["w"], u, update)
-    b = params["b"]
-    if dtype is not None and w_sn.dtype != jnp.dtype(dtype):
-        w_sn = w_sn.astype(dtype)
-        b = b.astype(dtype)
-    return x @ w_sn + b, u_new
+# (The critics consume spectral normalization through
+# batched_spectral_normalize + plain matmul/conv — per-layer sn_dense /
+# sn_conv1d apply helpers were retired with that change; spectral_normalize
+# remains the single-layer reference the batched form is tested against.)
 
 
 # ---------------------------------------------------------------------------
@@ -197,24 +191,6 @@ def sn_conv1d_init(key, in_ch: int, out_ch: int, kernel: int):
     kp, ku = jax.random.split(key)
     params = conv1d_init(kp, in_ch, out_ch, kernel)
     return params, spectral_init(ku, (kernel * in_ch, out_ch))
-
-
-def sn_conv1d(params, u, x, stride: int, padding: int, update: bool, dtype=None):
-    w = params["w"]
-    w2d = w.reshape(-1, w.shape[-1])
-    w_sn2d, u_new = spectral_normalize(w2d, u, update)   # power iteration in fp32
-    w_sn = w_sn2d.reshape(w.shape)
-    b = params["b"]
-    if dtype is not None and w_sn.dtype != jnp.dtype(dtype):
-        w_sn = w_sn.astype(dtype)
-        b = b.astype(dtype)
-    out = jax.lax.conv_general_dilated(
-        x, w_sn,
-        window_strides=(stride,),
-        padding=[(padding, padding)],
-        dimension_numbers=("NWC", "WIO", "NWC"),
-    )
-    return out + b, u_new
 
 
 # ---------------------------------------------------------------------------
