@@ -57,10 +57,11 @@ def _configs(use_temporal_disc: bool):
         use_temporal_disc=use_temporal_disc, prototype_has_time=False,
     )
     tkw = dict(n_critic=N_CRITIC, grad_clip_norm=1.0)
-    # Bit-parity mode: two sequential spectral-norm forwards per critic
-    # update, matching torch's per-forward power-iteration advance (the
-    # production default fuses them into one (real ++ fake) forward, which
-    # halves the u-advance rate — see TrainingConfig.fused_critic_forward).
+    # Pin the reference power-iteration schedule (two sequential spectral-norm
+    # forwards per critic update, torch's per-forward u advance) explicitly,
+    # independent of the TrainingConfig default — this harness certifies
+    # bit-parity with the torch trainer and must not drift if the default
+    # ever changes (see TrainingConfig.fused_critic_forward).
     return (RefMC(**kw), RefTC(**tkw), ModelConfig(**kw),
             TrainingConfig(**tkw, fused_critic_forward=False))
 

@@ -491,7 +491,8 @@ def fused_critic_available() -> bool:
     try:
         from .tpu_platform import tpu_backend
 
-        return (bool(os.environ.get("WGG_ENABLE_PALLAS_CRITIC"))
-                and tpu_backend() and len(jax.devices()) == 1)
+        flag = os.environ.get("WGG_ENABLE_PALLAS_CRITIC", "").strip().lower()
+        enabled = flag not in ("", "0", "false", "no", "off")
+        return enabled and tpu_backend() and len(jax.devices()) == 1
     except Exception:  # pragma: no cover
         return False
