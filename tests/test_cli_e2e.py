@@ -1,0 +1,86 @@
+"""End-to-end smoke of the actual CLI entry points (SURVEY §4f): train a
+tiny GAN through ``train_gan.py``, synthesize through
+``generate_gestures.py``, and evaluate through ``eval_gan.py`` — each in a
+fresh subprocess, exactly as a user runs them.
+
+Subprocesses must pin the CPU platform through the config API before any
+device use (site customization imports jax pinned to the ambient TPU
+platform; the env var alone is not honored, and a dead TPU tunnel would
+hang ``jax.devices()`` forever)."""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _run_cli(script: str, argv: list, timeout: int = 540) -> str:
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "import sys, runpy\n"
+        f"sys.argv = {[script] + argv!r}\n"
+        f"runpy.run_path({str(REPO / script)!r}, run_name='__main__')\n"
+    )
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.run([sys.executable, "-c", code], cwd=REPO, env=env,
+                          capture_output=True, text=True, timeout=timeout)
+    assert proc.returncode == 0, (
+        f"{script} {' '.join(argv)} failed (rc={proc.returncode}):\n"
+        f"{proc.stdout[-3000:]}\n{proc.stderr[-3000:]}")
+    return proc.stdout
+
+
+@pytest.fixture(scope="module")
+def trained_ckpt(tmp_path_factory):
+    ckdir = tmp_path_factory.mktemp("cli_ckpt")
+    out = _run_cli("train_gan.py", [
+        "--epochs", "1", "--synthetic", "--batch-size", "16", "--max-files", "10",
+        "--no-resume", "--checkpoint-dir", str(ckdir), "--precision", "float32",
+    ])
+    assert "Training complete!" in out
+    assert any(ckdir.iterdir()), "no checkpoint written"
+    return ckdir
+
+
+def test_train_cli_writes_checkpoint_and_logs(trained_ckpt):
+    names = {p.name for p in trained_ckpt.iterdir()}
+    assert any("latest" in n or "epoch" in n for n in names), names
+
+
+def test_generate_cli_roundtrip(trained_ckpt, tmp_path):
+    out_npz = tmp_path / "g.npz"
+    out = _run_cli("generate_gestures.py", [
+        "--words", "the,quick,brown", "--samples-per-word", "2",
+        "--checkpoint-dir", str(trained_ckpt), "--out", str(out_npz),
+        "--precision", "float32", "--batch", "8",
+    ])
+    assert "Wrote" in out
+    data = np.load(out_npz, allow_pickle=False)
+    assert data["gestures"].shape == (6, 128, 3)
+    assert data["prototypes"].shape == (6, 128, 3)
+    assert list(data["words"]) == ["the", "the", "quick", "quick", "brown", "brown"]
+    g = data["gestures"]
+    assert np.isfinite(g).all() and np.abs(g).max() <= 1.0 + 1e-6
+
+
+def test_generate_cli_errors_without_checkpoint(tmp_path):
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "import sys, runpy\n"
+        f"sys.argv = ['generate_gestures.py', '--words', 'the', "
+        f"'--checkpoint-dir', {str(tmp_path / 'none')!r}]\n"
+        f"runpy.run_path({str(REPO / 'generate_gestures.py')!r}, run_name='__main__')\n"
+    )
+    proc = subprocess.run([sys.executable, "-c", code], cwd=REPO,
+                          env=dict(os.environ, JAX_PLATFORMS="cpu"),
+                          capture_output=True, text=True, timeout=240)
+    assert proc.returncode == 1
+    assert "No checkpoint" in proc.stdout + proc.stderr
