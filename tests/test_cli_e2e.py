@@ -71,6 +71,17 @@ def test_generate_cli_roundtrip(trained_ckpt, tmp_path):
     assert np.isfinite(g).all() and np.abs(g).max() <= 1.0 + 1e-6
 
 
+def test_eval_cli_prints_metric_tables(trained_ckpt):
+    out = _run_cli("eval_gan.py", [
+        "--model", "gan", "--n-samples", "32", "--fast", "--synthetic",
+        "--max-files", "10", "--checkpoint-dir", str(trained_ckpt),
+        "--precision", "float32",
+    ], timeout=540)
+    # Paper-comparison table rows (reference eval_gan.py:218-273 format).
+    for needle in ("L2 Wasserstein", "Precision", "Recall", "FID"):
+        assert needle in out, f"missing {needle!r} in eval output"
+
+
 def test_generate_cli_errors_without_checkpoint(tmp_path):
     code = (
         "import jax; jax.config.update('jax_platforms', 'cpu')\n"
