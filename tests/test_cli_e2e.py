@@ -82,6 +82,20 @@ def test_eval_cli_prints_metric_tables(trained_ckpt):
         assert needle in out, f"missing {needle!r} in eval output"
 
 
+def test_contrastive_train_and_eval_clis(tmp_path_factory):
+    ckdir = tmp_path_factory.mktemp("cli_contrastive")
+    out = _run_cli("train_contrastive.py", [
+        "--epochs", "1", "--synthetic", "--max-files", "20",
+        "--no-resume", "--checkpoint-dir", str(ckdir),
+    ])
+    assert "complete" in out.lower()
+    out = _run_cli("eval_contrastive.py", [
+        "--synthetic", "--max-files", "20", "--checkpoint-dir", str(ckdir),
+        "--output-dir", str(ckdir / "eval_out"),
+    ])
+    assert "recall" in out.lower()
+
+
 def test_generate_cli_errors_without_checkpoint(tmp_path):
     code = (
         "import jax; jax.config.update('jax_platforms', 'cpu')\n"
