@@ -97,6 +97,38 @@ def bench_train(jax, jnp, np):
     return per_sec / n_chips, epoch_seconds
 
 
+def bench_contrastive(jax, jnp, np):
+    """Contrastive-encoder training throughput (gestures/s through the
+    SupCon step at the reference's 32-words × 2-gestures batch;
+    src/contrastive/trainer.py is the torch hot loop this replaces)."""
+    from wordgesture_gan_tpu.configs import ContrastiveConfig
+    from wordgesture_gan_tpu.train.contrastive_loop import (
+        contrastive_train_epoch,
+        init_contrastive_state,
+    )
+
+    cfg = ContrastiveConfig()
+    B = cfg.batch_words * cfg.gestures_per_word
+    n_store, n_batches = 20_000, 256
+    rng = np.random.default_rng(2)
+    store = jax.device_put(jnp.asarray(
+        rng.uniform(-1, 1, (n_store, cfg.seq_length, 3)), jnp.float32))
+    labels = jax.device_put(jnp.asarray(rng.integers(0, 4000, n_store), jnp.int32))
+    idx = jax.device_put(jnp.asarray(
+        rng.integers(0, n_store, (n_batches, B)), jnp.int32))
+    state = jax.device_put(init_contrastive_state(0, cfg))
+
+    epoch = jax.jit(lambda s, bi: contrastive_train_epoch(
+        s, store, labels, bi, (cfg.learning_rate, 1e-6, n_batches * 4), cfg),
+        donate_argnums=(0,))
+    state, losses = epoch(state, idx)                   # compile + warmup
+    float(np.mean(np.asarray(losses)))
+    t0 = time.perf_counter()
+    state, losses = epoch(state, idx)
+    float(np.mean(np.asarray(losses)))
+    return n_batches * B / (time.perf_counter() - t0)
+
+
 def bench_dtw(jax, jnp, np):
     """Batched-DTW pairs/sec on the production path (the full distance
     matrix as one fused device program — the reference's joblib-parallel
@@ -125,6 +157,7 @@ def main() -> None:
 
     per_sec_per_chip, epoch_seconds = bench_train(jax, jnp, np)
     dtw_pairs_per_sec = bench_dtw(jax, jnp, np)
+    contrastive_per_sec = bench_contrastive(jax, jnp, np)
 
     print(json.dumps({
         "metric": "gan_train_gestures_per_sec_per_chip",
@@ -134,6 +167,7 @@ def main() -> None:
         "extra": {
             "epoch_wall_clock_s_at_30k": round(epoch_seconds, 3),
             "dtw_pairs_per_sec": round(dtw_pairs_per_sec, 1),
+            "contrastive_train_gestures_per_sec": round(contrastive_per_sec, 1),
         },
     }))
 
