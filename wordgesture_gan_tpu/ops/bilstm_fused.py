@@ -42,8 +42,7 @@ so they are not retried):
 from __future__ import annotations
 
 import functools
-import os
-from typing import Dict, List, Tuple
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp

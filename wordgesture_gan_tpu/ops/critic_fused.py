@@ -51,7 +51,7 @@ XLA path in interpret mode (tests/test_critic_fused.py).
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
