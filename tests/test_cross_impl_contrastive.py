@@ -1,0 +1,167 @@
+"""Cross-implementation parity for the CONTRASTIVE workload: the torch
+reference (src/contrastive/) and this framework must agree — encoder
+forward (eval and train-mode BatchNorm), SupCon loss, and one full
+optimizer step from identical weights — to float tolerance. Completes the
+measured-parity story alongside the GAN trainer/eval harnesses."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from tests.cross_impl_utils import REF, add_reference_to_path, torch_state_dict_numpy
+
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(not REF.exists(), reason="reference checkout not available"),
+]
+
+B, L, N_WORDS = 32, 128, 8
+
+
+@pytest.fixture(scope="module")
+def stacks():
+    add_reference_to_path()
+    from src.contrastive.model import ContrastiveEncoder
+    from src.contrastive.model import ContrastiveConfig as RefCC
+
+    from wordgesture_gan_tpu.configs import ContrastiveConfig
+    from wordgesture_gan_tpu.interop.torch_weights import contrastive_encoder_from_torch
+
+    torch.manual_seed(5)
+    ref_cfg = RefCC()
+    encoder = ContrastiveEncoder(ref_cfg)
+    sd = torch_state_dict_numpy(encoder)
+    params, bn_state = contrastive_encoder_from_torch(sd)
+
+    rng = np.random.default_rng(9)
+    gestures = rng.uniform(-1, 1, (B, L, 3)).astype(np.float32)
+    labels = rng.integers(0, N_WORDS, B).astype(np.int64)
+    # guarantee positives exist for every sample
+    labels[: N_WORDS * 2] = np.repeat(np.arange(N_WORDS), 2)
+    return encoder, params, bn_state, gestures, labels, ref_cfg
+
+
+def test_encoder_forward_parity_eval(stacks):
+    from wordgesture_gan_tpu.models.contrastive import contrastive_encoder_apply
+
+    encoder, params, bn_state, gestures, _, _ = stacks
+    encoder.eval()
+    with torch.no_grad():
+        theirs = encoder(torch.tensor(gestures)).numpy()
+    ours, _ = contrastive_encoder_apply(params, bn_state, jnp.asarray(gestures),
+                                        train=False)
+    np.testing.assert_allclose(np.asarray(ours), theirs, atol=2e-6)
+
+
+def test_encoder_forward_parity_train_mode(stacks):
+    """Train mode: batch statistics + running-stat updates must match
+    torch BatchNorm1d (momentum 0.1, unbiased running var)."""
+    from wordgesture_gan_tpu.models.contrastive import contrastive_encoder_apply
+
+    encoder, params, bn_state, gestures, _, ref_cfg = stacks
+    add_reference_to_path()
+    from src.contrastive.model import ContrastiveEncoder
+
+    torch.manual_seed(5)
+    fresh = ContrastiveEncoder(ref_cfg)   # fresh running stats (single-use)
+    fresh.load_state_dict(encoder.state_dict())
+    fresh.train()
+    theirs = fresh(torch.tensor(gestures)).detach().numpy()
+    ours, new_state = contrastive_encoder_apply(params, bn_state,
+                                                jnp.asarray(gestures), train=True)
+    np.testing.assert_allclose(np.asarray(ours), theirs, atol=5e-6)
+
+    sd = fresh.state_dict()
+    for i, bn_i in enumerate((1, 4, 7)):
+        np.testing.assert_allclose(
+            np.asarray(new_state["bns"][i]["mean"]),
+            sd[f"conv_layers.{bn_i}.running_mean"].numpy(), atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(new_state["bns"][i]["var"]),
+            sd[f"conv_layers.{bn_i}.running_var"].numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_supcon_loss_parity(stacks):
+    add_reference_to_path()
+    from src.contrastive.model import SupervisedContrastiveLoss
+
+    from wordgesture_gan_tpu.losses import supervised_contrastive_loss
+
+    _, _, _, _, labels, ref_cfg = stacks
+    rng = np.random.default_rng(3)
+    emb = rng.normal(size=(B, ref_cfg.embedding_dim)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+
+    theirs = SupervisedContrastiveLoss(temperature=ref_cfg.temperature)(
+        torch.tensor(emb), torch.tensor(labels)).item()
+    ours = float(supervised_contrastive_loss(jnp.asarray(emb),
+                                             jnp.asarray(labels.astype(np.int32)),
+                                             temperature=ref_cfg.temperature))
+    assert ours == pytest.approx(theirs, abs=1e-5)
+
+
+def test_one_train_step_parity(stacks):
+    """One ContrastiveTrainer.train_step (forward → SupCon → clip 1.0 →
+    Adam(0.9, 0.999), reference trainer.py:64-102) against our jitted
+    update from the same weights: loss and every post-step parameter."""
+    add_reference_to_path()
+    from src.contrastive.model import ContrastiveConfig as RefCC
+    from src.contrastive.model import ContrastiveEncoder, SupervisedContrastiveLoss
+    from src.contrastive.trainer import ContrastiveTrainer
+
+    from wordgesture_gan_tpu.configs import ContrastiveConfig
+    from wordgesture_gan_tpu.interop.torch_weights import contrastive_encoder_from_torch
+    from wordgesture_gan_tpu.losses import supervised_contrastive_loss
+    from wordgesture_gan_tpu.models.contrastive import contrastive_encoder_apply
+    from wordgesture_gan_tpu.train.contrastive_loop import make_contrastive_optimizer
+    from wordgesture_gan_tpu.train.state import apply_update
+
+    encoder, _, _, gestures, labels, ref_cfg = stacks
+    trainer = ContrastiveTrainer(RefCC(), device="cpu")
+    trainer.encoder.load_state_dict(encoder.state_dict())
+    params, bn_state = contrastive_encoder_from_torch(
+        torch_state_dict_numpy(trainer.encoder))
+
+    ref_out = trainer.train_step(torch.tensor(gestures), torch.tensor(labels))
+
+    cfg = ContrastiveConfig()
+    tx = make_contrastive_optimizer()
+    opt = tx.init(params)
+
+    def loss_fn(p, s):
+        emb, s_new = contrastive_encoder_apply(p, s, jnp.asarray(gestures), train=True)
+        return supervised_contrastive_loss(
+            emb, jnp.asarray(labels.astype(np.int32)),
+            temperature=cfg.temperature), s_new
+
+    (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, bn_state)
+    new_params, _ = apply_update(params, grads, opt, tx, jnp.float32(cfg.learning_rate))
+
+    assert float(loss) == pytest.approx(ref_out["loss"], abs=2e-5)
+
+    # Conv biases feed straight into BatchNorm, which subtracts the batch
+    # mean — their loss gradient is analytically ZERO (both stacks measure
+    # only ~1e-7 fp noise), yet Adam's first step still moves them by
+    # ±lr·sign(noise), and the noise sign is not reproducible across
+    # frameworks. They are degenerate parameters of the reference
+    # architecture; assert the gradient degeneracy and exclude them from
+    # the strict post-step comparison.
+    for i, conv_grad in enumerate(grads["convs"]):
+        assert float(jnp.abs(conv_grad["b"]).max()) < 1e-5, (
+            f"conv{i} bias gradient unexpectedly non-degenerate")
+
+    params_after, _ = contrastive_encoder_from_torch(
+        torch_state_dict_numpy(trainer.encoder))
+    flat_ours = jax.tree_util.tree_flatten_with_path(new_params)[0]
+    flat_theirs = jax.tree.leaves(params_after)
+    for (path, ours_leaf), theirs_leaf in zip(flat_ours, flat_theirs):
+        keys = [getattr(k, "key", getattr(k, "idx", None)) for k in path]
+        if "convs" in keys and keys[-1] == "b":
+            continue   # degenerate (see above)
+        np.testing.assert_allclose(np.asarray(ours_leaf), np.asarray(theirs_leaf),
+                                   atol=5e-6, rtol=1e-4,
+                                   err_msg=f"param {keys}")

@@ -4,6 +4,7 @@ cross-implementation parity harness, tests/test_cross_impl_*.py)."""
 
 from .torch_weights import (  # noqa: F401
     autoencoder_from_torch,
+    contrastive_encoder_from_torch,
     encoder_from_torch,
     generator_from_torch,
     mlp_disc_from_torch,

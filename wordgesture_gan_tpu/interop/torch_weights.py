@@ -135,6 +135,34 @@ def autoencoder_from_torch(sd: StateDict, config: ModelConfig) -> Dict:
     }
 
 
+def contrastive_encoder_from_torch(sd: StateDict) -> Tuple[Dict, Dict]:
+    """ContrastiveEncoder (reference contrastive/model.py:48-121) →
+    (params, batchnorm_state). torch layout: ``conv_layers`` Sequential
+    with Conv1d at 0/3/6 and BatchNorm1d at 1/4/7; ``projection`` Linear
+    at 0/2."""
+    convs, bns, bn_states = [], [], []
+    for conv_i, bn_i in ((0, 1), (3, 4), (6, 7)):
+        w = sd[f"conv_layers.{conv_i}.weight"]            # (out, in, k)
+        convs.append({
+            "w": jnp.asarray(np.transpose(w, (2, 1, 0)), jnp.float32),  # WIO
+            "b": jnp.asarray(sd[f"conv_layers.{conv_i}.bias"], jnp.float32),
+        })
+        bns.append({
+            "scale": jnp.asarray(sd[f"conv_layers.{bn_i}.weight"], jnp.float32),
+            "bias": jnp.asarray(sd[f"conv_layers.{bn_i}.bias"], jnp.float32),
+        })
+        bn_states.append({
+            "mean": jnp.asarray(sd[f"conv_layers.{bn_i}.running_mean"], jnp.float32),
+            "var": jnp.asarray(sd[f"conv_layers.{bn_i}.running_var"], jnp.float32),
+        })
+    params = {
+        "convs": convs,
+        "bns": bns,
+        "proj": [_lin(sd, "projection.0"), _lin(sd, "projection.2")],
+    }
+    return params, {"bns": bn_states}
+
+
 def trainer_state_from_torch(
     checkpoint: Mapping[str, StateDict],
     model_config: ModelConfig,
