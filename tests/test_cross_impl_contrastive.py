@@ -104,6 +104,45 @@ def test_supcon_loss_parity(stacks):
     assert ours == pytest.approx(theirs, abs=1e-5)
 
 
+def test_retrieval_metrics_parity(stacks):
+    """recall@k / mAP against the reference's torch computation
+    (eval_contrastive.py:68-113: self-similarity, -inf diagonal, topk,
+    any-match recall, cumulative-precision AP) on identical embeddings."""
+    from wordgesture_gan_tpu.eval.contrastive_eval import evaluate_recall
+
+    _, _, _, _, _, ref_cfg = stacks
+    rng = np.random.default_rng(17)
+    n, k_values = 96, (1, 5, 10, 20)
+    emb = rng.normal(size=(n, ref_cfg.embedding_dim)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    labels = rng.integers(0, 24, n)
+
+    # The reference block, verbatim semantics (its evaluate_recall wraps a
+    # DataLoader; the metric math starts at the similarity matrix).
+    e = torch.tensor(emb)
+    lab = torch.tensor(labels)
+    similarity = e @ e.T
+    similarity.fill_diagonal_(-float("inf"))
+    max_k = max(k_values)
+    _, topk_indices = similarity.topk(max_k, dim=1)
+    theirs = {}
+    for k in k_values:
+        topk = topk_indices[:, :k]
+        matches = (lab.unsqueeze(1).expand(-1, k) == lab[topk]).any(dim=1)
+        theirs[f"recall@{k}"] = matches.float().mean().item()
+    ap_scores = []
+    for i in range(n):
+        correct = (lab[topk_indices[i]] == lab[i].item()).float()
+        p_at_k = torch.cumsum(correct, dim=0) / torch.arange(1, max_k + 1).float()
+        ap_scores.append(float((p_at_k * correct).sum() / correct.sum())
+                         if correct.sum() > 0 else 0.0)
+    theirs["mAP"] = float(np.mean(ap_scores))
+
+    ours = evaluate_recall(emb, labels, k_values)
+    for k in theirs:
+        assert ours[k] == pytest.approx(theirs[k], abs=1e-6), k
+
+
 def test_one_train_step_parity(stacks):
     """One ContrastiveTrainer.train_step (forward → SupCon → clip 1.0 →
     Adam(0.9, 0.999), reference trainer.py:64-102) against our jitted
