@@ -13,6 +13,11 @@ from wordgesture_gan_tpu.losses import wgan_critic_loss
 from wordgesture_gan_tpu.models.gan import _POOL_BINS, _TCONV_SPEC, disc_apply, disc_init
 from wordgesture_gan_tpu.ops.critic_fused import critic_temporal_loss_and_grads
 
+# Thorough interpreter-mode kernel validation (~40 s) — slow tier; the
+# batched-spectral-norm equivalence test in test_models.py covers the
+# shared sn math in the smoke tier.
+pytestmark = pytest.mark.slow
+
 B, L = 8, 32
 
 
