@@ -111,6 +111,38 @@ def test_grad_structure_matches_params():
         assert p.shape == g.shape
 
 
+def test_gan_step_wiring_through_kernel(monkeypatch):
+    """The _critic_update branch that dispatches to the kernel must produce
+    the same post-update critic as the XLA branch (protects the wiring —
+    the gate is TPU-only, so plain CPU runs never take it)."""
+    import wordgesture_gan_tpu.ops.critic_fused as cf
+    import wordgesture_gan_tpu.train.gan_step as gs
+    from wordgesture_gan_tpu.train.state import make_optimizer
+
+    cfg, params, sn, real, fake = _setup("float32")
+    tx = make_optimizer(1.0)
+    opt = tx.init(params)
+    disc = {"params": params, "opt": opt, "sn": sn}
+    lr = jnp.float32(2e-4)
+
+    ref_disc, ref_loss = gs._critic_update(disc, real, fake, tx, lr, cfg, False)
+
+    # _critic_update imports these from the module at call time, so
+    # patching the module attributes redirects the branch.
+    monkeypatch.setattr(cf, "fused_critic_available", lambda: True)
+    orig = cf.critic_temporal_loss_and_grads
+    monkeypatch.setattr(
+        cf, "critic_temporal_loss_and_grads",
+        lambda *a, **kw: orig(*a, **dict(kw, interpret=True)))
+
+    k_disc, k_loss = gs._critic_update(disc, real, fake, tx, lr, cfg, False)
+
+    assert float(k_loss) == pytest.approx(float(ref_loss), abs=2e-5)
+    for a, b in zip(jax.tree.leaves(ref_disc), jax.tree.leaves(k_disc)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=1e-4)
+
+
 def test_schedules_differ_only_in_sn_state():
     """fused vs reference-schedule: same-magnitude losses, but the fake
     half's σ differs → gradients differ slightly and the u state advances
