@@ -82,6 +82,17 @@ def test_eval_cli_prints_metric_tables(trained_ckpt):
         assert needle in out, f"missing {needle!r} in eval output"
 
 
+def test_eval_cli_min_jerk_baseline():
+    """--model min-jerk needs no checkpoint: fits the minimum-jerk model on
+    the train split, generates per test word, runs the same metric suite."""
+    out = _run_cli("eval_gan.py", [
+        "--model", "min-jerk", "--n-samples", "24", "--fast", "--synthetic",
+        "--max-files", "10",
+    ], timeout=540)
+    for needle in ("L2 Wasserstein", "Precision", "Recall"):
+        assert needle in out, f"missing {needle!r} in min-jerk eval output"
+
+
 def test_contrastive_train_and_eval_clis(tmp_path_factory):
     ckdir = tmp_path_factory.mktemp("cli_contrastive")
     out = _run_cli("train_contrastive.py", [
