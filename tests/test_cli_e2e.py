@@ -82,6 +82,17 @@ def test_eval_cli_prints_metric_tables(trained_ckpt):
         assert needle in out, f"missing {needle!r} in eval output"
 
 
+def test_eval_cli_large_scale(trained_ckpt):
+    """--large-scale N: device-side bulk generation + the 100k-scale
+    distribution metrics (sliced-W2, energy distance, chunked kNN) at a
+    CPU-sized N."""
+    out = _run_cli("eval_gan.py", [
+        "--large-scale", "256", "--synthetic", "--max-files", "10",
+        "--checkpoint-dir", str(trained_ckpt), "--precision", "float32",
+    ], timeout=540)
+    assert "sliced" in out.lower() or "energy" in out.lower(), out[-1500:]
+
+
 def test_eval_cli_min_jerk_baseline():
     """--model min-jerk needs no checkpoint: fits the minimum-jerk model on
     the train split, generates per test word, runs the same metric suite."""
