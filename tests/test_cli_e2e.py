@@ -82,6 +82,19 @@ def test_eval_cli_prints_metric_tables(trained_ckpt):
         assert needle in out, f"missing {needle!r} in eval output"
 
 
+def test_train_cli_variable_length(tmp_path_factory):
+    """--variable-length: natural-resolution loader + masked transformer
+    two-cycle step through the real CLI (BASELINE config 5)."""
+    ckdir = tmp_path_factory.mktemp("cli_vl")
+    out = _run_cli("train_gan.py", [
+        "--epochs", "1", "--synthetic", "--batch-size", "8", "--max-files", "8",
+        "--no-resume", "--checkpoint-dir", str(ckdir), "--precision", "float32",
+        "--variable-length",
+    ])
+    assert "Training complete!" in out
+    assert any(ckdir.iterdir())
+
+
 def test_eval_cli_large_scale(trained_ckpt):
     """--large-scale N: device-side bulk generation + the 100k-scale
     distribution metrics (sliced-W2, energy distance, chunked kNN) at a
