@@ -118,13 +118,16 @@ def bench_contrastive(jax, jnp, np):
         rng.integers(0, n_store, (n_batches, B)), jnp.int32))
     state = jax.device_put(init_contrastive_state(0, cfg))
 
-    epoch = jax.jit(lambda s, bi: contrastive_train_epoch(
-        s, store, labels, bi, (cfg.learning_rate, 1e-6, n_batches * 4), cfg),
+    # Store/labels are jit ARGUMENTS, not closures — closing over host
+    # arrays bakes them into the program as constants (the repo's
+    # never-close-over contract; pathological through a remote-TPU compile).
+    epoch = jax.jit(lambda s, g, l, bi: contrastive_train_epoch(
+        s, g, l, bi, (cfg.learning_rate, 1e-6, n_batches * 4), cfg),
         donate_argnums=(0,))
-    state, losses = epoch(state, idx)                   # compile + warmup
+    state, losses = epoch(state, store, labels, idx)    # compile + warmup
     float(np.mean(np.asarray(losses)))
     t0 = time.perf_counter()
-    state, losses = epoch(state, idx)
+    state, losses = epoch(state, store, labels, idx)
     float(np.mean(np.asarray(losses)))
     return n_batches * B / (time.perf_counter() - t0)
 

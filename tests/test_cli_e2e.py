@@ -22,7 +22,7 @@ pytestmark = pytest.mark.slow
 REPO = Path(__file__).resolve().parent.parent
 
 
-def _run_cli(script: str, argv: list, timeout: int = 540) -> str:
+def _run_cli(script: str, argv: list, timeout: int = 540, expect_rc: int = 0) -> str:
     code = (
         "import jax; jax.config.update('jax_platforms', 'cpu')\n"
         "import sys, runpy\n"
@@ -32,10 +32,10 @@ def _run_cli(script: str, argv: list, timeout: int = 540) -> str:
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     proc = subprocess.run([sys.executable, "-c", code], cwd=REPO, env=env,
                           capture_output=True, text=True, timeout=timeout)
-    assert proc.returncode == 0, (
-        f"{script} {' '.join(argv)} failed (rc={proc.returncode}):\n"
-        f"{proc.stdout[-3000:]}\n{proc.stderr[-3000:]}")
-    return proc.stdout
+    assert proc.returncode == expect_rc, (
+        f"{script} {' '.join(argv)} gave rc={proc.returncode} "
+        f"(expected {expect_rc}):\n{proc.stdout[-3000:]}\n{proc.stderr[-3000:]}")
+    return proc.stdout + proc.stderr
 
 
 @pytest.fixture(scope="module")
@@ -111,7 +111,7 @@ def test_eval_cli_min_jerk_baseline():
     the train split, generates per test word, runs the same metric suite."""
     out = _run_cli("eval_gan.py", [
         "--model", "min-jerk", "--n-samples", "24", "--fast", "--synthetic",
-        "--max-files", "10",
+        "--max-files", "10", "--checkpoint-dir", "/tmp/cli_e2e_minjerk_cache",
     ], timeout=540)
     for needle in ("L2 Wasserstein", "Precision", "Recall"):
         assert needle in out, f"missing {needle!r} in min-jerk eval output"
@@ -132,15 +132,7 @@ def test_contrastive_train_and_eval_clis(tmp_path_factory):
 
 
 def test_generate_cli_errors_without_checkpoint(tmp_path):
-    code = (
-        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
-        "import sys, runpy\n"
-        f"sys.argv = ['generate_gestures.py', '--words', 'the', "
-        f"'--checkpoint-dir', {str(tmp_path / 'none')!r}]\n"
-        f"runpy.run_path({str(REPO / 'generate_gestures.py')!r}, run_name='__main__')\n"
-    )
-    proc = subprocess.run([sys.executable, "-c", code], cwd=REPO,
-                          env=dict(os.environ, JAX_PLATFORMS="cpu"),
-                          capture_output=True, text=True, timeout=240)
-    assert proc.returncode == 1
-    assert "No checkpoint" in proc.stdout + proc.stderr
+    out = _run_cli("generate_gestures.py",
+                   ["--words", "the", "--checkpoint-dir", str(tmp_path / "none")],
+                   timeout=240, expect_rc=1)
+    assert "No checkpoint" in out

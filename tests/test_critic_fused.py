@@ -131,12 +131,19 @@ def test_gan_step_wiring_through_kernel(monkeypatch):
     # patching the module attributes redirects the branch.
     monkeypatch.setattr(cf, "fused_critic_available", lambda: True)
     orig = cf.critic_temporal_loss_and_grads
-    monkeypatch.setattr(
-        cf, "critic_temporal_loss_and_grads",
-        lambda *a, **kw: orig(*a, **dict(kw, interpret=True)))
+    took_kernel_branch = []
+
+    def spy(*a, **kw):
+        took_kernel_branch.append(True)
+        return orig(*a, **dict(kw, interpret=True))
+
+    monkeypatch.setattr(cf, "critic_temporal_loss_and_grads", spy)
 
     k_disc, k_loss = gs._critic_update(disc, real, fake, tx, lr, cfg, False)
 
+    # Guard against the test passing vacuously (e.g. if the call-time
+    # import in _critic_update is ever hoisted to module scope).
+    assert took_kernel_branch, "_critic_update did not dispatch to the kernel"
     assert float(k_loss) == pytest.approx(float(ref_loss), abs=2e-5)
     for a, b in zip(jax.tree.leaves(ref_disc), jax.tree.leaves(k_disc)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),

@@ -28,7 +28,6 @@ def stacks():
     from src.contrastive.model import ContrastiveEncoder
     from src.contrastive.model import ContrastiveConfig as RefCC
 
-    from wordgesture_gan_tpu.configs import ContrastiveConfig
     from wordgesture_gan_tpu.interop.torch_weights import contrastive_encoder_from_torch
 
     torch.manual_seed(5)
@@ -149,7 +148,6 @@ def test_one_train_step_parity(stacks):
     update from the same weights: loss and every post-step parameter."""
     add_reference_to_path()
     from src.contrastive.model import ContrastiveConfig as RefCC
-    from src.contrastive.model import ContrastiveEncoder, SupervisedContrastiveLoss
     from src.contrastive.trainer import ContrastiveTrainer
 
     from wordgesture_gan_tpu.configs import ContrastiveConfig

@@ -48,7 +48,10 @@ def resolve_dataset_zip(args: argparse.Namespace) -> str:
             f"synthetic stand-in, or point --data at the real swipelogs.zip."
         )
 
-    syn_path = path if not path.exists() else path.parent / f"synthetic_swipelogs_{args.synthetic_users}.zip"
+    # The stand-in always lives under an explicit synthetic_ name — never at
+    # the real dataset's path, where a later run WITHOUT --synthetic would
+    # silently mistake fabricated data for the real corpus.
+    syn_path = path.parent / f"synthetic_swipelogs_{args.synthetic_users}.zip"
     if not syn_path.exists():
         log(f"Generating synthetic swipelogs ({args.synthetic_users} users) at {syn_path}")
         wordfreq = Path("/root/reference/dataset/wordfreq.txt")
