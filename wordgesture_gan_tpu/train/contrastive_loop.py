@@ -29,6 +29,7 @@ from ..losses import supervised_contrastive_loss
 from ..models.contrastive import contrastive_encoder_apply, contrastive_encoder_init
 from ..parallel.mesh import batch_sharding, create_mesh, packed_replicate, replicate
 from ..utils.logging import log
+from ..utils.preemption import PreemptionGuard
 from .checkpoint import restore_checkpoint, save_checkpoint
 from .state import apply_update
 
@@ -224,36 +225,48 @@ def train_contrastive(
     history: Dict[str, list] = {"train_loss": []}
     best_recall = float(np.asarray(state["best_recall"]))
 
-    for epoch in range(start_epoch, num_epochs):
-        # Per-epoch derived RNG: a single stateful stream restarted at seed
-        # would make a resumed run replay epoch-0's batch sequences (the GAN
-        # loop's fold_in(seed, epoch) pattern, made stdlib).
-        sampler_rng = _random.Random(seed * 1_000_003 + epoch)
-        batch_idx = sample_epoch_batches(
-            train_data, config.batch_words, config.gestures_per_word, sampler_rng
-        )
-        t0 = time.perf_counter()
-        state, losses = epoch_fn(state, g_dev, l_dev,
-                                 jax.device_put(jnp.asarray(batch_idx), idx_shard))
-        jax.block_until_ready(losses)
-        dt = time.perf_counter() - t0
-        avg_loss = float(np.mean(np.asarray(losses)))
-        history["train_loss"].append(avg_loss)
-        say(f"Epoch {epoch + 1}/{num_epochs} [{dt:.1f}s] loss: {avg_loss:.4f}")
+    with PreemptionGuard() as preempt:
+        for epoch in range(start_epoch, num_epochs):
+            # Per-epoch derived RNG: a single stateful stream restarted at seed
+            # would make a resumed run replay epoch-0's batch sequences (the GAN
+            # loop's fold_in(seed, epoch) pattern, made stdlib).
+            sampler_rng = _random.Random(seed * 1_000_003 + epoch)
+            batch_idx = sample_epoch_batches(
+                train_data, config.batch_words, config.gestures_per_word, sampler_rng
+            )
+            t0 = time.perf_counter()
+            state, losses = epoch_fn(state, g_dev, l_dev,
+                                     jax.device_put(jnp.asarray(batch_idx), idx_shard))
+            jax.block_until_ready(losses)
+            dt = time.perf_counter() - t0
+            avg_loss = float(np.mean(np.asarray(losses)))
+            history["train_loss"].append(avg_loss)
+            say(f"Epoch {epoch + 1}/{num_epochs} [{dt:.1f}s] loss: {avg_loss:.4f}")
 
-        if (epoch + 1) % eval_every == 0 or epoch == num_epochs - 1:
-            emb = embed_gestures(state, test_data.gestures, config)
-            metrics = centroid_recall(emb, test_data.words)
-            for key, val in metrics.items():
-                history.setdefault(f"test_{key}", []).append(val)
-            say("Evaluation: " + " | ".join(f"{k}: {v:.4f}" for k, v in metrics.items()))
-            if metrics["recall@1"] > best_recall:
-                best_recall = metrics["recall@1"]
-                state = {**state, "best_recall": jnp.float32(best_recall)}
+            if (epoch + 1) % eval_every == 0 or epoch == num_epochs - 1:
+                emb = embed_gestures(state, test_data.gestures, config)
+                metrics = centroid_recall(emb, test_data.words)
+                for key, val in metrics.items():
+                    history.setdefault(f"test_{key}", []).append(val)
+                say("Evaluation: " + " | ".join(f"{k}: {v:.4f}" for k, v in metrics.items()))
+                if metrics["recall@1"] > best_recall:
+                    best_recall = metrics["recall@1"]
+                    state = {**state, "best_recall": jnp.float32(best_recall)}
+                    if checkpoint_dir:
+                        save_checkpoint(state, checkpoint_dir, epoch, keep_latest=False)
+                        _save_named(state, checkpoint_dir, checkpoint_name)
+                    say(f"New best recall@1: {best_recall:.4f}")
+
+            if preempt.requested:
+                # Graceful preemption: persist the full resume state (the
+                # epoch counter and sampler RNG derive from it), exit
+                # cleanly, resume on rerun (utils/preemption.py).
                 if checkpoint_dir:
                     save_checkpoint(state, checkpoint_dir, epoch, keep_latest=False)
                     _save_named(state, checkpoint_dir, checkpoint_name)
-                say(f"New best recall@1: {best_recall:.4f}")
+                say(f"Preemption signal received — stopped cleanly after "
+                    f"epoch {epoch + 1}; rerun to resume.")
+                break
 
     if checkpoint_dir:
         _save_named(state, checkpoint_dir, checkpoint_name)

@@ -30,6 +30,7 @@ from ..data.pipeline import GestureArrays
 from ..models.gan import generator_apply
 from ..parallel.mesh import batch_sharding, create_mesh, packed_replicate, replicate
 from ..utils.logging import log
+from ..utils.preemption import PreemptionGuard
 from ..utils.profiling import Throughput
 from .checkpoint import restore_checkpoint, save_checkpoint
 from .gan_step import gan_train_epoch, gan_train_step, make_epoch_batches
@@ -134,56 +135,69 @@ def train_gan(
     history: List[Dict[str, float]] = []
     samples_per_epoch = (len(train_ds) // training_config.batch_size) * training_config.batch_size
 
-    for epoch in range(start_epoch, num_epochs):
-        lr = jnp.float32(
-            cosine_annealing_lr(
-                training_config.learning_rate, epoch, num_epochs,
-                training_config.lr_scheduler_eta_min,
+    with PreemptionGuard() as preempt:
+        for epoch in range(start_epoch, num_epochs):
+            lr = jnp.float32(
+                cosine_annealing_lr(
+                    training_config.learning_rate, epoch, num_epochs,
+                    training_config.lr_scheduler_eta_min,
+                )
             )
-        )
-        shuffle_key = jax.random.fold_in(jax.random.PRNGKey(seed ^ 0x5EED), epoch)
-        batches = make_epoch_batches(
-            shuffle_key, g_dev, p_dev, training_config.batch_size
-        )
-        batches = jax.tree.map(lambda x: jax.device_put(x, batch_shard), batches)
-
-        t0 = time.perf_counter()
-        state, traces = epoch_fn(state, batches, lr)
-        jax.block_until_ready(traces)
-        dt = time.perf_counter() - t0
-        throughput.update(samples_per_epoch, dt)
-
-        # Zero-batch epoch (len(train_ds) < batch_size, torch drop_last
-        # semantics): a no-op with 0-valued losses, not a NaN-guard trip.
-        empty = next(iter(traces.values())).shape[0] == 0 if traces else True
-        losses = {k: (0.0 if empty else float(np.mean(v))) for k, v in traces.items()}
-        losses["lr"] = float(lr)
-        # Failure detection: a non-finite loss means the run is diverging —
-        # stop before burning epochs / writing a poisoned checkpoint
-        # (the reference has no such guard; SURVEY.md §5).
-        bad = [k for k, v in losses.items() if not np.isfinite(v)]
-        if bad:
-            raise FloatingPointError(
-                f"Non-finite losses at epoch {epoch + 1}: {bad}. "
-                f"Last good checkpoint is in {checkpoint_dir!r}."
+            shuffle_key = jax.random.fold_in(jax.random.PRNGKey(seed ^ 0x5EED), epoch)
+            batches = make_epoch_batches(
+                shuffle_key, g_dev, p_dev, training_config.batch_size
             )
-        history.append(losses)
-        say(
-            f"Epoch {epoch + 1}/{num_epochs} [{dt:.1f}s, "
-            f"{samples_per_epoch / max(dt, 1e-9):.0f} gestures/s] - "
-            f"D1:{losses['d1_loss']:.3f} D2:{losses['d2_loss']:.3f} "
-            f"C1:{losses['cycle1_total']:.3f} C2:{losses['cycle2_total']:.3f} "
-            f"LR:{float(lr):.6f}"
-        )
+            batches = jax.tree.map(lambda x: jax.device_put(x, batch_shard), batches)
 
-        if epoch_callback is not None:
-            epoch_callback(epoch, state, losses)
+            t0 = time.perf_counter()
+            state, traces = epoch_fn(state, batches, lr)
+            jax.block_until_ready(traces)
+            dt = time.perf_counter() - t0
+            throughput.update(samples_per_epoch, dt)
 
-        if checkpoint_dir and (
-            (epoch + 1) % training_config.save_every == 0 or epoch == num_epochs - 1
-        ):
-            save_checkpoint(state, checkpoint_dir, epoch)
-            say(f"  Checkpoint saved at epoch {epoch + 1}")
+            # Zero-batch epoch (len(train_ds) < batch_size, torch drop_last
+            # semantics): a no-op with 0-valued losses, not a NaN-guard trip.
+            empty = next(iter(traces.values())).shape[0] == 0 if traces else True
+            losses = {k: (0.0 if empty else float(np.mean(v))) for k, v in traces.items()}
+            losses["lr"] = float(lr)
+            # Failure detection: a non-finite loss means the run is diverging —
+            # stop before burning epochs / writing a poisoned checkpoint
+            # (the reference has no such guard; SURVEY.md §5).
+            bad = [k for k, v in losses.items() if not np.isfinite(v)]
+            if bad:
+                raise FloatingPointError(
+                    f"Non-finite losses at epoch {epoch + 1}: {bad}. "
+                    f"Last good checkpoint is in {checkpoint_dir!r}."
+                )
+            history.append(losses)
+            say(
+                f"Epoch {epoch + 1}/{num_epochs} [{dt:.1f}s, "
+                f"{samples_per_epoch / max(dt, 1e-9):.0f} gestures/s] - "
+                f"D1:{losses['d1_loss']:.3f} D2:{losses['d2_loss']:.3f} "
+                f"C1:{losses['cycle1_total']:.3f} C2:{losses['cycle2_total']:.3f} "
+                f"LR:{float(lr):.6f}"
+            )
+
+            if epoch_callback is not None:
+                epoch_callback(epoch, state, losses)
+
+            saved = False
+            if checkpoint_dir and (
+                (epoch + 1) % training_config.save_every == 0 or epoch == num_epochs - 1
+            ):
+                save_checkpoint(state, checkpoint_dir, epoch)
+                say(f"  Checkpoint saved at epoch {epoch + 1}")
+                saved = True
+
+            if preempt.requested:
+                # Graceful preemption (SIGTERM/SIGINT): the epoch that was
+                # in flight has completed — persist it and exit cleanly so a
+                # rerun of the same command resumes here (utils/preemption.py).
+                if checkpoint_dir and not saved:
+                    save_checkpoint(state, checkpoint_dir, epoch)
+                say(f"Preemption signal received — stopped cleanly after "
+                    f"epoch {epoch + 1}; rerun to resume.")
+                break
 
     say(
         f"Training done: {throughput.per_sec:.0f} gestures/s "

@@ -25,6 +25,7 @@ from ..configs import (
 from ..data.variable_length import VariableGestureArrays
 from ..parallel.mesh import batch_sharding, create_mesh, packed_replicate, replicate
 from ..utils.logging import log
+from ..utils.preemption import PreemptionGuard
 from ..utils.profiling import Throughput
 from .checkpoint import restore_checkpoint, save_checkpoint
 from .gan_loop import TrainResult
@@ -119,45 +120,57 @@ def train_variable_gan(
     history = []
     samples_per_epoch = (len(train_ds) // training_config.batch_size) * training_config.batch_size
 
-    for epoch in range(start_epoch, num_epochs):
-        lr = jnp.float32(cosine_annealing_lr(
-            training_config.learning_rate, epoch, num_epochs,
-            training_config.lr_scheduler_eta_min))
-        shuffle_key = jax.random.fold_in(jax.random.PRNGKey(seed ^ 0x5EED), epoch)
-        batches = make_epoch_batches_masked(shuffle_key, g_dev, p_dev, m_dev,
-                                            training_config.batch_size)
-        batches = jax.tree.map(lambda x: jax.device_put(x, batch_shard), batches)
+    with PreemptionGuard() as preempt:
+        for epoch in range(start_epoch, num_epochs):
+            lr = jnp.float32(cosine_annealing_lr(
+                training_config.learning_rate, epoch, num_epochs,
+                training_config.lr_scheduler_eta_min))
+            shuffle_key = jax.random.fold_in(jax.random.PRNGKey(seed ^ 0x5EED), epoch)
+            batches = make_epoch_batches_masked(shuffle_key, g_dev, p_dev, m_dev,
+                                                training_config.batch_size)
+            batches = jax.tree.map(lambda x: jax.device_put(x, batch_shard), batches)
 
-        t0 = time.perf_counter()
-        state, traces = epoch_fn(state, batches, lr)
-        jax.block_until_ready(traces)
-        dt = time.perf_counter() - t0
-        throughput.update(samples_per_epoch, dt)
+            t0 = time.perf_counter()
+            state, traces = epoch_fn(state, batches, lr)
+            jax.block_until_ready(traces)
+            dt = time.perf_counter() - t0
+            throughput.update(samples_per_epoch, dt)
 
-        # Zero-batch epoch (len(train_ds) < batch_size, drop_last): no-op
-        # with 0-valued losses, not a NaN-guard trip (np.mean of empty).
-        empty = next(iter(traces.values())).shape[0] == 0 if traces else True
-        losses = {k: (0.0 if empty else float(np.mean(v))) for k, v in traces.items()}
-        losses["lr"] = float(lr)
-        bad = [k for k, v in losses.items() if not np.isfinite(v)]
-        if bad:
-            raise FloatingPointError(
-                f"Non-finite losses at epoch {epoch + 1}: {bad}. "
-                f"Last good checkpoint is in {checkpoint_dir!r}.")
-        history.append(losses)
-        say(f"Epoch {epoch + 1}/{num_epochs} [{dt:.1f}s, "
-            f"{samples_per_epoch / max(dt, 1e-9):.0f} gestures/s] - "
-            f"D1:{losses['d1_loss']:.3f} D2:{losses['d2_loss']:.3f} "
-            f"C1:{losses['cycle1_total']:.3f} C2:{losses['cycle2_total']:.3f} "
-            f"Rec:{losses['cycle2_rec']:.3f} LR:{float(lr):.6f}")
+            # Zero-batch epoch (len(train_ds) < batch_size, drop_last): no-op
+            # with 0-valued losses, not a NaN-guard trip (np.mean of empty).
+            empty = next(iter(traces.values())).shape[0] == 0 if traces else True
+            losses = {k: (0.0 if empty else float(np.mean(v))) for k, v in traces.items()}
+            losses["lr"] = float(lr)
+            bad = [k for k, v in losses.items() if not np.isfinite(v)]
+            if bad:
+                raise FloatingPointError(
+                    f"Non-finite losses at epoch {epoch + 1}: {bad}. "
+                    f"Last good checkpoint is in {checkpoint_dir!r}.")
+            history.append(losses)
+            say(f"Epoch {epoch + 1}/{num_epochs} [{dt:.1f}s, "
+                f"{samples_per_epoch / max(dt, 1e-9):.0f} gestures/s] - "
+                f"D1:{losses['d1_loss']:.3f} D2:{losses['d2_loss']:.3f} "
+                f"C1:{losses['cycle1_total']:.3f} C2:{losses['cycle2_total']:.3f} "
+                f"Rec:{losses['cycle2_rec']:.3f} LR:{float(lr):.6f}")
 
-        if epoch_callback is not None:
-            epoch_callback(epoch, state, losses)
-        if checkpoint_dir and (
-            (epoch + 1) % training_config.save_every == 0 or epoch == num_epochs - 1
-        ):
-            save_checkpoint(state, checkpoint_dir, epoch)
-            say(f"  Checkpoint saved at epoch {epoch + 1}")
+            if epoch_callback is not None:
+                epoch_callback(epoch, state, losses)
+            saved = False
+            if checkpoint_dir and (
+                (epoch + 1) % training_config.save_every == 0 or epoch == num_epochs - 1
+            ):
+                save_checkpoint(state, checkpoint_dir, epoch)
+                say(f"  Checkpoint saved at epoch {epoch + 1}")
+                saved = True
+
+            if preempt.requested:
+                # Graceful preemption: persist the completed epoch, exit
+                # cleanly, resume on rerun (utils/preemption.py).
+                if checkpoint_dir and not saved:
+                    save_checkpoint(state, checkpoint_dir, epoch)
+                say(f"Preemption signal received — stopped cleanly after "
+                    f"epoch {epoch + 1}; rerun to resume.")
+                break
 
     say(f"Training done: {throughput.per_sec:.0f} gestures/s "
         f"({throughput.per_sec_per_chip:.0f}/chip over {n_shards} chip(s))")
