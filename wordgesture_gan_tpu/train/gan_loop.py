@@ -45,6 +45,22 @@ class TrainResult:
     throughput: Optional[Throughput] = None
 
 
+
+def _append_history(checkpoint_dir, epoch: int, losses) -> None:
+    """Durable per-epoch loss log: one JSON line per completed epoch in
+    ``<checkpoint_dir>/history.jsonl``. Appending keeps resumed runs'
+    histories contiguous; the reference only has wandb/stdout."""
+    import json
+    from pathlib import Path
+
+    if not checkpoint_dir:
+        return
+    path = Path(checkpoint_dir)
+    path.mkdir(parents=True, exist_ok=True)
+    with open(path / "history.jsonl", "a") as f:
+        f.write(json.dumps({"epoch": epoch + 1, **losses}) + "\n")
+
+
 def train_gan(
     train_ds: GestureArrays,
     model_config: ModelConfig = DEFAULT_MODEL_CONFIG,
@@ -170,6 +186,7 @@ def train_gan(
                     f"Last good checkpoint is in {checkpoint_dir!r}."
                 )
             history.append(losses)
+            _append_history(checkpoint_dir, epoch, losses)
             say(
                 f"Epoch {epoch + 1}/{num_epochs} [{dt:.1f}s, "
                 f"{samples_per_epoch / max(dt, 1e-9):.0f} gestures/s] - "

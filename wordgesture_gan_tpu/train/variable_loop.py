@@ -34,6 +34,22 @@ from .schedules import cosine_annealing_lr
 from .state import init_gan_state
 
 
+
+def _append_history(checkpoint_dir, epoch: int, losses) -> None:
+    """Durable per-epoch loss log: one JSON line per completed epoch in
+    ``<checkpoint_dir>/history.jsonl``. Appending keeps resumed runs'
+    histories contiguous; the reference only has wandb/stdout."""
+    import json
+    from pathlib import Path
+
+    if not checkpoint_dir:
+        return
+    path = Path(checkpoint_dir)
+    path.mkdir(parents=True, exist_ok=True)
+    with open(path / "history.jsonl", "a") as f:
+        f.write(json.dumps({"epoch": epoch + 1, **losses}) + "\n")
+
+
 def train_variable_gan(
     train_ds: VariableGestureArrays,
     model_config: ModelConfig,
@@ -147,6 +163,7 @@ def train_variable_gan(
                     f"Non-finite losses at epoch {epoch + 1}: {bad}. "
                     f"Last good checkpoint is in {checkpoint_dir!r}.")
             history.append(losses)
+            _append_history(checkpoint_dir, epoch, losses)
             say(f"Epoch {epoch + 1}/{num_epochs} [{dt:.1f}s, "
                 f"{samples_per_epoch / max(dt, 1e-9):.0f} gestures/s] - "
                 f"D1:{losses['d1_loss']:.3f} D2:{losses['d2_loss']:.3f} "
