@@ -241,6 +241,8 @@ def train_contrastive(
             dt = time.perf_counter() - t0
             avg_loss = float(np.mean(np.asarray(losses)))
             history["train_loss"].append(avg_loss)
+            from .gan_loop import _append_history
+            _append_history(checkpoint_dir, epoch, {"train_loss": avg_loss})
             say(f"Epoch {epoch + 1}/{num_epochs} [{dt:.1f}s] loss: {avg_loss:.4f}")
 
             if (epoch + 1) % eval_every == 0 or epoch == num_epochs - 1:
