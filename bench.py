@@ -16,6 +16,9 @@ n_critic=5 step. vs_baseline = ours_per_chip / 5880.
 """
 
 import json
+import os
+import signal
+import subprocess
 import sys
 import time
 from pathlib import Path
@@ -23,6 +26,14 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).parent))
 
 BASELINE_GESTURES_PER_SEC = 5880.0  # reference L40S (see module docstring)
+METRIC_NAME = "gan_train_gestures_per_sec_per_chip"
+METRIC_UNIT = "gestures/s/chip (two-cycle WGAN step, n_critic=5, batch 512, bf16)"
+# Backend-probe schedule: ~13 min of exponential backoff. The known failure
+# mode is a transiently wedged/restarting TPU tunnel (UNAVAILABLE at init or
+# a hang at the first device op) — it usually recovers within minutes.
+PROBE_SLEEPS = (0, 30, 60, 120, 240, 300)
+PROBE_TIMEOUT_S = 150               # first init through the tunnel is ~20-40 s
+DEADLINE_S = int(os.environ.get("WGG_BENCH_DEADLINE_S", "2700"))
 N_TRAIN = 29_980                    # reference capped train-set size
 BATCH_SIZE = 512
 N_CRITIC = 5
@@ -150,7 +161,91 @@ def bench_dtw(jax, jnp, np):
     return n * n / (time.perf_counter() - t0)
 
 
+def _fail_json(reason: str, detail: str = "") -> None:
+    """Diagnostic JSON on unrecoverable failure — one parseable line instead
+    of a bare traceback, so the round record carries the failure cause and
+    the last verified measurement (round 3 lost its record to exactly this:
+    a transient 'UNAVAILABLE' became rc=1 with parsed:null)."""
+    last_good = None
+    for prev in sorted(Path(__file__).parent.glob("BENCH_r*.json"), reverse=True):
+        try:
+            rec = json.loads(prev.read_text())
+            if rec.get("rc") == 0 and rec.get("parsed"):
+                last_good = {"round_file": prev.name, **rec["parsed"]}
+                break
+        except (json.JSONDecodeError, OSError):
+            continue
+    print(json.dumps({
+        "metric": METRIC_NAME,
+        "value": None,
+        "unit": METRIC_UNIT,
+        "vs_baseline": None,
+        "extra": {"error": reason, "detail": detail[-2000:],
+                  "last_good": last_good},
+    }))
+    sys.stdout.flush()
+
+
+def _probe_backend() -> str:
+    """Run a tiny device computation in a SUBPROCESS with a hard timeout.
+
+    The tunnel's two failure modes are (a) UNAVAILABLE at backend init and
+    (b) an indefinite hang at the first device op when another client holds
+    (or recently held) the device lease. A subprocess probe converts both
+    into a clean retry without poisoning this process's jax backend state.
+    Returns "" on success, else a one-line diagnosis.
+    """
+    code = (
+        "import jax, jax.numpy as jnp, numpy as np;"
+        "x = jnp.ones((128,128)) @ jnp.ones((128,128));"
+        "assert float(np.asarray(x)[0,0]) == 128.0;"
+        "print('ok', jax.devices())"
+    )
+    try:
+        r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                           text=True, timeout=PROBE_TIMEOUT_S)
+    except subprocess.TimeoutExpired:
+        return f"probe hang (> {PROBE_TIMEOUT_S}s at first device op)"
+    if r.returncode != 0:
+        tail = (r.stderr or r.stdout).strip().splitlines()
+        return tail[-1] if tail else f"probe rc={r.returncode}"
+    return ""
+
+
+def _wait_for_backend() -> str:
+    """Retry the backend probe with backoff. Returns "" once healthy."""
+    last = ""
+    for i, sleep_s in enumerate(PROBE_SLEEPS):
+        if sleep_s:
+            print(f"backend unavailable ({last}); retry {i}/{len(PROBE_SLEEPS) - 1} "
+                  f"in {sleep_s}s", file=sys.stderr)
+            time.sleep(sleep_s)
+        last = _probe_backend()
+        if not last:
+            if i > 0:
+                # Lease churn: connecting immediately after another client
+                # exits can hang; give the tunnel a moment to settle.
+                time.sleep(15)
+            return ""
+    return last
+
+
 def main() -> None:
+    # Hard deadline: a mid-bench tunnel wedge must still produce a JSON
+    # record rather than hanging past the driver's patience.
+    def _on_alarm(signum, frame):
+        _fail_json("deadline", f"bench exceeded WGG_BENCH_DEADLINE_S={DEADLINE_S}s "
+                   "(device op wedged mid-run)")
+        os._exit(1)
+
+    signal.signal(signal.SIGALRM, _on_alarm)
+    signal.alarm(DEADLINE_S)
+
+    err = _wait_for_backend()
+    if err:
+        _fail_json("backend unavailable after retries", err)
+        sys.exit(1)
+
     from wordgesture_gan_tpu.utils.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -158,14 +253,19 @@ def main() -> None:
     import jax.numpy as jnp
     import numpy as np
 
-    per_sec_per_chip, epoch_seconds = bench_train(jax, jnp, np)
-    dtw_pairs_per_sec = bench_dtw(jax, jnp, np)
-    contrastive_per_sec = bench_contrastive(jax, jnp, np)
+    try:
+        per_sec_per_chip, epoch_seconds = bench_train(jax, jnp, np)
+        dtw_pairs_per_sec = bench_dtw(jax, jnp, np)
+        contrastive_per_sec = bench_contrastive(jax, jnp, np)
+    except Exception as e:  # emit a parseable record, then the real traceback
+        _fail_json(type(e).__name__, str(e))
+        raise
 
+    signal.alarm(0)
     print(json.dumps({
-        "metric": "gan_train_gestures_per_sec_per_chip",
+        "metric": METRIC_NAME,
         "value": round(per_sec_per_chip, 1),
-        "unit": "gestures/s/chip (two-cycle WGAN step, n_critic=5, batch 512, bf16)",
+        "unit": METRIC_UNIT,
         "vs_baseline": round(per_sec_per_chip / BASELINE_GESTURES_PER_SEC, 3),
         "extra": {
             "epoch_wall_clock_s_at_30k": round(epoch_seconds, 3),

@@ -104,3 +104,70 @@ def test_training_resumes_from_checkpoint(tmp_path):
     r3 = train_gan(ds, MCFG, TCFG, rt, num_epochs=1, seed=0,
                    checkpoint_dir=str(tmp_path / "fresh"), resume=False, verbose=False)
     assert len(r3.history) == 1
+
+
+def test_latest_is_atomic_symlink(state, tmp_path):
+    """`latest` is a symlink swap — no destroy-then-write window. A crash
+    that leaves it dangling must fall back to the newest epoch_N."""
+    save_checkpoint(state, str(tmp_path), epoch=0)
+    save_checkpoint(state, str(tmp_path), epoch=1)
+    latest = tmp_path / "latest"
+    assert latest.is_symlink()
+    import os
+    assert os.readlink(latest) == "epoch_2"
+
+    # Simulate a crash window: `latest` gone entirely.
+    latest.unlink()
+    restored = restore_checkpoint(state, str(tmp_path))
+    assert restored is not None                      # fell back to epoch_2
+
+    # Dangling symlink (target dir lost) also falls back, to epoch_1.
+    import shutil
+    os.symlink("epoch_99", latest)
+    shutil.rmtree(tmp_path / "epoch_2")
+    restored = restore_checkpoint(state, str(tmp_path))
+    assert restored is not None
+    # and a truly empty dir still returns None
+    for p in tmp_path.iterdir():
+        shutil.rmtree(p) if p.is_dir() else p.unlink()
+    assert restore_checkpoint(state, str(tmp_path)) is None
+
+
+def test_legacy_latest_dir_upgraded(state, tmp_path):
+    """Old checkpoints have `latest` as a real directory; the next save must
+    replace it with the symlink scheme and stay restorable."""
+    import orbax.checkpoint as ocp
+
+    host = jax.tree.map(np.asarray, jax.device_get(state))
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(tmp_path / "latest", host)        # legacy real dir
+    assert not (tmp_path / "latest").is_symlink()
+    save_checkpoint(state, str(tmp_path), epoch=3)
+    assert (tmp_path / "latest").is_symlink()
+    assert restore_checkpoint(state, str(tmp_path)) is not None
+
+
+def test_save_named_atomic(state, tmp_path):
+    from wordgesture_gan_tpu.train.checkpoint import save_named
+
+    save_named(state, str(tmp_path), "contrastive_latest")
+    save_named(state, str(tmp_path), "contrastive_latest")   # overwrite in place
+    restored = restore_checkpoint(state, str(tmp_path), name="contrastive_latest")
+    assert restored is not None
+    # no stray tmp/old dirs left behind
+    stray = [p.name for p in tmp_path.iterdir() if p.name.startswith(".")]
+    assert stray == []
+
+
+def test_history_truncation(tmp_path):
+    from wordgesture_gan_tpu.train.history import append_history, truncate_history
+
+    for e in range(5):
+        append_history(str(tmp_path), e, {"loss": float(e)})
+    # resumed from a checkpoint written at epoch 3 → epochs 4,5 get re-run
+    truncate_history(str(tmp_path), 3)
+    recs = [json.loads(l) for l in (tmp_path / "history.jsonl").read_text().splitlines()]
+    assert [r["epoch"] for r in recs] == [1, 2, 3]
+    append_history(str(tmp_path), 3, {"loss": 9.0})
+    recs = [json.loads(l) for l in (tmp_path / "history.jsonl").read_text().splitlines()]
+    assert [r["epoch"] for r in recs] == [1, 2, 3, 4]

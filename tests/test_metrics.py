@@ -319,12 +319,27 @@ def test_energy_distance_same_distribution_near_zero():
     assert d_shift > 10 * abs(d_same)
 
 
-def test_dtw_always_rejects_extra_dims(gesture_sets):
+def test_dtw_always_rejects_unsupported_dims(gesture_sets):
     from wordgesture_gan_tpu.ops.dtw import dtw_distance_matrix
 
     real, fake = gesture_sets
+    real5 = np.concatenate([real, real[:, :, :2]], axis=-1)    # D=5
+    fake5 = np.concatenate([fake, fake[:, :, :2]], axis=-1)
     with pytest.raises(ValueError, match="use_pallas"):
-        dtw_distance_matrix(real, fake, use_pallas="always")   # D=3
+        dtw_distance_matrix(real5, fake5, use_pallas="always")
+
+
+def test_pallas_dtw_kernel_3d_matches_xla(gesture_sets):
+    """D=3 (x, y, t) planes through the Pallas kernel (interpret mode) —
+    the kernel was D=2-only through round 3, silently falling back."""
+    from wordgesture_gan_tpu.ops.dtw import dtw_pairs
+    from wordgesture_gan_tpu.ops.dtw_pallas import dtw_pairs_pallas
+
+    real, fake = gesture_sets
+    x, y = jnp.asarray(real), jnp.asarray(fake)        # (P, L, 3)
+    ref = np.asarray(dtw_pairs(x, y))
+    out = np.asarray(dtw_pairs_pallas(x, y, pair_tile=8, interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=1e-3)
 
 
 def test_pallas_dtw_kernel_matches_xla(gesture_sets):

@@ -162,9 +162,6 @@ class ContrastiveConfig:
     (reference src/contrastive/model.py:19-45)."""
 
     embedding_dim: int = 64
-    lstm_hidden_dim: int = 64      # kept for config parity; encoder is a CNN
-    num_lstm_layers: int = 2
-
     temperature: float = 0.07
 
     learning_rate: float = 1e-3

@@ -40,13 +40,18 @@ from .preprocess import (
 def _cache_path(zip_path: str, model_config: ModelConfig, training_config: TrainingConfig,
                 time64: bool = False) -> Path:
     """Preprocessing cache keyed by (seq_length, max_samples_per_word,
-    time64, zip byte size), next to the zip (reference data.py:326-331;
-    `.npz.pkl` instead of torch `.pt`). The size term auto-invalidates the
-    cache when a same-named zip is regenerated (the reference keys on the
-    name alone and silently serves stale data)."""
+    time64, zip byte size, zip mtime), next to the zip (reference
+    data.py:326-331; `.npz.pkl` instead of torch `.pt`). The size+mtime
+    terms auto-invalidate the cache when a same-named zip is regenerated —
+    the reference keys on the name alone and silently serves stale data,
+    and size alone misses a regenerated zip that lands on the same byte
+    count."""
     p = Path(zip_path)
-    size = p.stat().st_size if p.exists() else 0
-    key = f"{model_config.seq_length}_{training_config.max_samples_per_word}_{time64}_{size}"
+    st = p.stat() if p.exists() else None
+    size = st.st_size if st else 0
+    mtime = st.st_mtime_ns if st else 0
+    key = (f"{model_config.seq_length}_{training_config.max_samples_per_word}"
+           f"_{time64}_{size}_{mtime}")
     digest = hashlib.md5(key.encode()).hexdigest()[:8]
     return p.parent / f".cache_{p.stem}_{digest}.pkl"
 

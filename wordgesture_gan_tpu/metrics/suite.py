@@ -139,6 +139,10 @@ def evaluate_all_metrics(
 
     results["ae_test_loss"] = float(_ae_test_loss(jax.device_put(ae_params), real_d))
     results["fid"] = fid_from_features(real_features, fake_features)
+    # Feature-space provenance travels with the number: 'positional' FIDs are
+    # NOT comparable to the reference/paper's ('paper'-mode) values, so every
+    # reporting site labels the FID with this (ADVICE r3).
+    results["fid_feature_mode"] = getattr(eval_config, "fid_feature_mode", "paper")
 
     # --- k-NN precision / recall (evaluation.py:470-488)
     precision, recall, real_dists, real_radii = knn_precision_recall(

@@ -112,7 +112,7 @@ def dtw_distance_matrix(
     real: (n, L, D), fake: (m, L, D).
 
     ``use_pallas``: "auto" uses the Pallas TPU kernel on TPU backends
-    (~2x the XLA row sweep), "never"/"always" force a path.
+    (~2x the XLA row sweep) for D ∈ {2, 3}, "never"/"always" force a path.
     """
     n, m = len(real), len(fake)
     L, D = real.shape[1], real.shape[2]
@@ -120,17 +120,26 @@ def dtw_distance_matrix(
     fake_d = jnp.asarray(fake[:, :, :D], jnp.float32)
 
     if use_pallas == "always":
-        if D != 2:
+        if D not in (2, 3):
             raise ValueError(
-                f"use_pallas='always' requires 2-feature gestures (x, y); got "
-                f"D={D} — the Pallas kernel would silently drop extra dims.")
+                f"use_pallas='always' requires 2- or 3-feature gestures "
+                f"(x, y[, t]); got D={D}.")
         pallas_ok = True
     elif use_pallas == "never":
         pallas_ok = False
     else:
         from .dtw_pallas import pallas_dtw_available
 
-        pallas_ok = pallas_dtw_available() and L >= 8 and D == 2
+        pallas_ok = pallas_dtw_available() and L >= 8 and D in (2, 3)
+        if pallas_dtw_available() and not pallas_ok:
+            # Loud fallback: a silent 2x perf regression on unusual shapes
+            # is a trap for future feature-augmented evals.
+            import warnings
+
+            warnings.warn(
+                f"dtw_distance_matrix: falling back to the XLA row sweep "
+                f"(Pallas kernel needs L >= 8 and D in (2, 3); got L={L}, "
+                f"D={D})", stacklevel=2)
 
     flat = np.asarray(_dtw_all_pairs_scanned(
         real_d, fake_d, m_total=m, pair_chunk=min(pair_chunk, n * m), pallas=pallas_ok

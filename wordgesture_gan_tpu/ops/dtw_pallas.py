@@ -50,26 +50,27 @@ def _lane_cummin(x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
-def _dtw_kernel(x0_ref, x1_ref, y0_ref, y1_ref, out_ref, *, seq_len: int):
-    import jax.experimental.pallas as pl
+def _dtw_kernel(*refs, seq_len: int, n_dims: int):
+    # refs: n_dims (P, L) planes of the first sequence, then n_dims planes
+    # of the second, then the output ref. Plane count is static, so the
+    # feature loop fully unrolls (D ∈ {2, 3}: x, y and optionally t).
+    out_ref = refs[-1]
+    x_planes = [r[:] for r in refs[:n_dims]]
+    y_planes = [r[:] for r in refs[n_dims:2 * n_dims]]
 
-    x0 = x0_ref[:]          # (P, L) first-sequence x coords
-    x1 = x1_ref[:]          # (P, L) first-sequence y coords
-    y0 = y0_ref[:]          # (P, L) second-sequence x coords
-    y1 = y1_ref[:]          # (P, L) second-sequence y coords
-
-    P = y0.shape[0]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (P, y0.shape[1]), 1)
+    P, L = y_planes[0].shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (P, L), 1)
 
     def cost_row(i):
         # Extract lane i of the first sequence with a one-hot reduction —
         # Mosaic cannot prove alignment for an unaligned dynamic lane slice.
         mask = (lane == i).astype(jnp.float32)
-        cx = jnp.sum(x0 * mask, axis=1, keepdims=True)        # (P, 1)
-        cy = jnp.sum(x1 * mask, axis=1, keepdims=True)
-        dx = cx - y0
-        dy = cy - y1
-        return jnp.sqrt(dx * dx + dy * dy)                    # (P, L)
+        sq = None
+        for xp, yp in zip(x_planes, y_planes):
+            c = jnp.sum(xp * mask, axis=1, keepdims=True)     # (P, 1)
+            d = c - yp
+            sq = d * d if sq is None else sq + d * d
+        return jnp.sqrt(sq)                                   # (P, L)
 
     # Row 0: only left-moves → prefix sums of the first cost row.
     d0 = _lane_cumsum(cost_row(0))
@@ -90,29 +91,31 @@ def dtw_pairs_pallas(x: jnp.ndarray, y: jnp.ndarray, pair_tile: int = 256,
                      interpret: bool = False) -> jnp.ndarray:
     """DTW distances for aligned pairs via the Pallas kernel.
 
-    x, y: (P, L, 2) float32 → (P,). Pairs are padded to a multiple of
-    ``pair_tile``; L should be lane-friendly (128 in this framework).
+    x, y: (P, L, D) float32 with D ∈ {2, 3} → (P,). Pairs are padded to a
+    multiple of ``pair_tile``; L should be lane-friendly (128 here).
     ``interpret`` runs the kernel in the Pallas interpreter (CPU testing).
     """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    P, L, _ = x.shape
+    P, L, D = x.shape
+    if D not in (2, 3):
+        raise ValueError(f"Pallas DTW kernel supports D in (2, 3); got D={D}")
     n_tiles = -(-P // pair_tile)
     padded = n_tiles * pair_tile
     if padded != P:
-        pad = jnp.zeros((padded - P, L, 2), x.dtype)
+        pad = jnp.zeros((padded - P, L, D), x.dtype)
         x = jnp.concatenate([x, pad], axis=0)
         y = jnp.concatenate([y, pad], axis=0)
 
-    planes = (x[:, :, 0], x[:, :, 1], y[:, :, 0], y[:, :, 1])
+    planes = tuple(x[:, :, d] for d in range(D)) + tuple(y[:, :, d] for d in range(D))
 
     in_spec = pl.BlockSpec((pair_tile, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_dtw_kernel, seq_len=L),
+        functools.partial(_dtw_kernel, seq_len=L, n_dims=D),
         out_shape=jax.ShapeDtypeStruct((padded, 1), jnp.float32),
         grid=(n_tiles,),
-        in_specs=[in_spec] * 4,
+        in_specs=[in_spec] * (2 * D),
         out_specs=pl.BlockSpec((pair_tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
     )(*planes)

@@ -8,6 +8,7 @@ resume contract (restore everything, continue from epoch+1).
 
 from __future__ import annotations
 
+import os
 import shutil
 from pathlib import Path
 from typing import Dict, Optional
@@ -23,31 +24,85 @@ def _as_host(tree):
     return jax.tree.map(np.asarray, jax.device_get(tree))
 
 
+def _atomic_save(ckptr, path: Path, host_state: Dict) -> None:
+    """Crash-safe directory save: write into a hidden sibling, then swap it
+    in with directory renames. A kill at any point leaves either the old
+    snapshot or the new one — never a missing/partial ``path``.
+
+    (Before this, ``rmtree(path)`` then ``save`` had a destroy-then-write
+    window: a crash in between silently reset resumes to epoch 0.)
+    """
+    tmp = path.parent / f".{path.name}.tmp.{os.getpid()}"
+    old = path.parent / f".{path.name}.old"
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    ckptr.save(tmp, host_state)
+    if old.exists() or old.is_symlink():
+        shutil.rmtree(old, ignore_errors=True)
+        if old.is_symlink():
+            old.unlink()
+    if path.is_symlink():
+        path.unlink()            # symlink unlink is atomic
+    elif path.exists():
+        os.rename(path, old)     # window here leaves ``.old`` → cleaned next save
+    os.rename(tmp, path)
+    if old.exists():
+        shutil.rmtree(old, ignore_errors=True)
+
+
 def save_checkpoint(state: Dict, checkpoint_dir: str, epoch: int, keep_latest: bool = True) -> None:
     """Write ``epoch_{N}`` and refresh ``latest`` (reference cadence:
-    every save_every epochs + final, train_gan.py:189-196)."""
+    every save_every epochs + final, train_gan.py:189-196).
+
+    ``latest`` is a relative symlink to the new ``epoch_{N}`` directory —
+    one Orbax write instead of two, and the swap (symlink + os.replace) is
+    atomic, so no crash can leave a run without a restorable ``latest``.
+    """
     base = Path(checkpoint_dir).absolute()
     base.mkdir(parents=True, exist_ok=True)
     host_state = _as_host(state)
 
+    epoch_name = f"epoch_{epoch + 1}"
     with ocp.PyTreeCheckpointer() as ckptr:
-        epoch_path = base / f"epoch_{epoch + 1}"
-        if epoch_path.exists():
-            shutil.rmtree(epoch_path)
-        ckptr.save(epoch_path, host_state)
-        if keep_latest:
-            latest = base / "latest"
-            if latest.exists():
-                shutil.rmtree(latest)
-            ckptr.save(latest, host_state)
+        _atomic_save(ckptr, base / epoch_name, host_state)
+    if keep_latest:
+        latest = base / "latest"
+        tmp_link = base / f".latest.lnk.{os.getpid()}"
+        if tmp_link.is_symlink() or tmp_link.exists():
+            tmp_link.unlink()
+        if latest.exists() and not latest.is_symlink():
+            # Legacy layout: ``latest`` was a real directory. Replace it with
+            # the symlink scheme; the rmtree happens only after epoch_N is
+            # fully on disk, so a crash here still resumes via the fallback.
+            shutil.rmtree(latest)
+        os.symlink(epoch_name, tmp_link)
+        os.replace(tmp_link, latest)
+
+
+def save_named(state: Dict, checkpoint_dir: str, name: str) -> None:
+    """Crash-safe standalone named snapshot (e.g. ``contrastive_latest``)."""
+    base = Path(checkpoint_dir).absolute()
+    base.mkdir(parents=True, exist_ok=True)
+    host_state = _as_host(state)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        _atomic_save(ckptr, base / name, host_state)
 
 
 def restore_checkpoint(template: Dict, checkpoint_dir: str, name: str = "latest") -> Optional[Dict]:
     """Restore into the structure of ``template`` (a freshly-initialized
-    state). Returns None when no checkpoint exists."""
-    path = Path(checkpoint_dir).absolute() / name
-    if not path.exists():
-        return None
+    state). Returns None when no checkpoint exists.
+
+    If the requested snapshot is missing (or ``latest`` dangles after a
+    crash mid-save), falls back to the newest intact ``epoch_N`` snapshot
+    rather than silently restarting from epoch 0.
+    """
+    base = Path(checkpoint_dir).absolute()
+    path = base / name
+    if not path.exists():   # follows symlinks: dangling ``latest`` lands here
+        n = latest_epoch(checkpoint_dir)
+        if n <= 0:
+            return None
+        path = base / f"epoch_{n}"
     with ocp.PyTreeCheckpointer() as ckptr:
         try:
             restored = ckptr.restore(path, item=_as_host(template))

@@ -30,7 +30,8 @@ from ..models.contrastive import contrastive_encoder_apply, contrastive_encoder_
 from ..parallel.mesh import batch_sharding, create_mesh, packed_replicate, replicate
 from ..utils.logging import log
 from ..utils.preemption import PreemptionGuard
-from .checkpoint import restore_checkpoint, save_checkpoint
+from .checkpoint import restore_checkpoint, save_checkpoint, save_named
+from .history import append_history, truncate_history
 from .state import apply_update
 
 
@@ -199,6 +200,7 @@ def train_contrastive(
         if restored is not None:
             state = restored
             start_epoch = int(np.asarray(state["epoch"]))
+            truncate_history(checkpoint_dir, start_epoch)
             say(f"Resumed contrastive training from epoch {start_epoch}")
     state = packed_replicate(mesh, state)
 
@@ -241,8 +243,7 @@ def train_contrastive(
             dt = time.perf_counter() - t0
             avg_loss = float(np.mean(np.asarray(losses)))
             history["train_loss"].append(avg_loss)
-            from .gan_loop import _append_history
-            _append_history(checkpoint_dir, epoch, {"train_loss": avg_loss})
+            append_history(checkpoint_dir, epoch, {"train_loss": avg_loss})
             say(f"Epoch {epoch + 1}/{num_epochs} [{dt:.1f}s] loss: {avg_loss:.4f}")
 
             if (epoch + 1) % eval_every == 0 or epoch == num_epochs - 1:
@@ -256,34 +257,21 @@ def train_contrastive(
                     state = {**state, "best_recall": jnp.float32(best_recall)}
                     if checkpoint_dir:
                         save_checkpoint(state, checkpoint_dir, epoch, keep_latest=False)
-                        _save_named(state, checkpoint_dir, checkpoint_name)
+                        save_named(state, checkpoint_dir, checkpoint_name)
                     say(f"New best recall@1: {best_recall:.4f}")
 
-            if preempt.requested:
+            if preempt.agreed():
                 # Graceful preemption: persist the full resume state (the
                 # epoch counter and sampler RNG derive from it), exit
                 # cleanly, resume on rerun (utils/preemption.py).
                 if checkpoint_dir:
                     save_checkpoint(state, checkpoint_dir, epoch, keep_latest=False)
-                    _save_named(state, checkpoint_dir, checkpoint_name)
+                    save_named(state, checkpoint_dir, checkpoint_name)
                 say(f"Preemption signal received — stopped cleanly after "
                     f"epoch {epoch + 1}; rerun to resume.")
                 break
 
     if checkpoint_dir:
-        _save_named(state, checkpoint_dir, checkpoint_name)
+        save_named(state, checkpoint_dir, checkpoint_name)
     return state, history
 
-
-def _save_named(state: Dict, checkpoint_dir: str, name: str) -> None:
-    import shutil
-    import orbax.checkpoint as ocp
-
-    base = Path(checkpoint_dir).absolute()
-    base.mkdir(parents=True, exist_ok=True)
-    path = base / name
-    if path.exists():
-        shutil.rmtree(path)
-    host_state = jax.tree.map(np.asarray, jax.device_get(state))
-    with ocp.PyTreeCheckpointer() as ckptr:
-        ckptr.save(path, host_state)

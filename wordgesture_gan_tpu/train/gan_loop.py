@@ -34,6 +34,7 @@ from ..utils.preemption import PreemptionGuard
 from ..utils.profiling import Throughput
 from .checkpoint import restore_checkpoint, save_checkpoint
 from .gan_step import gan_train_epoch, gan_train_step, make_epoch_batches
+from .history import append_history, truncate_history
 from .schedules import cosine_annealing_lr
 from .state import init_gan_state
 
@@ -43,22 +44,6 @@ class TrainResult:
     state: Dict
     history: List[Dict[str, float]] = field(default_factory=list)
     throughput: Optional[Throughput] = None
-
-
-
-def _append_history(checkpoint_dir, epoch: int, losses) -> None:
-    """Durable per-epoch loss log: one JSON line per completed epoch in
-    ``<checkpoint_dir>/history.jsonl``. Appending keeps resumed runs'
-    histories contiguous; the reference only has wandb/stdout."""
-    import json
-    from pathlib import Path
-
-    if not checkpoint_dir:
-        return
-    path = Path(checkpoint_dir)
-    path.mkdir(parents=True, exist_ok=True)
-    with open(path / "history.jsonl", "a") as f:
-        f.write(json.dumps({"epoch": epoch + 1, **losses}) + "\n")
 
 
 def train_gan(
@@ -101,6 +86,7 @@ def train_gan(
         if restored is not None:
             state = restored
             start_epoch = int(np.asarray(state["epoch"]))
+            truncate_history(checkpoint_dir, start_epoch)
             say(f"Resumed from checkpoint at epoch {start_epoch}")
     state = packed_replicate(mesh, state)
 
@@ -186,7 +172,7 @@ def train_gan(
                     f"Last good checkpoint is in {checkpoint_dir!r}."
                 )
             history.append(losses)
-            _append_history(checkpoint_dir, epoch, losses)
+            append_history(checkpoint_dir, epoch, losses)
             say(
                 f"Epoch {epoch + 1}/{num_epochs} [{dt:.1f}s, "
                 f"{samples_per_epoch / max(dt, 1e-9):.0f} gestures/s] - "
@@ -206,7 +192,7 @@ def train_gan(
                 say(f"  Checkpoint saved at epoch {epoch + 1}")
                 saved = True
 
-            if preempt.requested:
+            if preempt.agreed():
                 # Graceful preemption (SIGTERM/SIGINT): the epoch that was
                 # in flight has completed — persist it and exit cleanly so a
                 # rerun of the same command resumes here (utils/preemption.py).

@@ -29,25 +29,10 @@ from ..utils.preemption import PreemptionGuard
 from ..utils.profiling import Throughput
 from .checkpoint import restore_checkpoint, save_checkpoint
 from .gan_loop import TrainResult
+from .history import append_history, truncate_history
 from .masked_step import gan_train_epoch_masked, make_epoch_batches_masked
 from .schedules import cosine_annealing_lr
 from .state import init_gan_state
-
-
-
-def _append_history(checkpoint_dir, epoch: int, losses) -> None:
-    """Durable per-epoch loss log: one JSON line per completed epoch in
-    ``<checkpoint_dir>/history.jsonl``. Appending keeps resumed runs'
-    histories contiguous; the reference only has wandb/stdout."""
-    import json
-    from pathlib import Path
-
-    if not checkpoint_dir:
-        return
-    path = Path(checkpoint_dir)
-    path.mkdir(parents=True, exist_ok=True)
-    with open(path / "history.jsonl", "a") as f:
-        f.write(json.dumps({"epoch": epoch + 1, **losses}) + "\n")
 
 
 def train_variable_gan(
@@ -85,6 +70,7 @@ def train_variable_gan(
         if restored is not None:
             state = restored
             start_epoch = int(np.asarray(state["epoch"]))
+            truncate_history(checkpoint_dir, start_epoch)
             say(f"Resumed from checkpoint at epoch {start_epoch}")
     state = packed_replicate(mesh, state)
 
@@ -163,7 +149,7 @@ def train_variable_gan(
                     f"Non-finite losses at epoch {epoch + 1}: {bad}. "
                     f"Last good checkpoint is in {checkpoint_dir!r}.")
             history.append(losses)
-            _append_history(checkpoint_dir, epoch, losses)
+            append_history(checkpoint_dir, epoch, losses)
             say(f"Epoch {epoch + 1}/{num_epochs} [{dt:.1f}s, "
                 f"{samples_per_epoch / max(dt, 1e-9):.0f} gestures/s] - "
                 f"D1:{losses['d1_loss']:.3f} D2:{losses['d2_loss']:.3f} "
@@ -180,7 +166,7 @@ def train_variable_gan(
                 say(f"  Checkpoint saved at epoch {epoch + 1}")
                 saved = True
 
-            if preempt.requested:
+            if preempt.agreed():
                 # Graceful preemption: persist the completed epoch, exit
                 # cleanly, resume on rerun (utils/preemption.py).
                 if checkpoint_dir and not saved:

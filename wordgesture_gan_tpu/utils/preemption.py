@@ -45,3 +45,26 @@ class PreemptionGuard:
         for sig, prev in self._prev.items():
             signal.signal(sig, prev)
         return False
+
+    def agreed(self) -> bool:
+        """Cluster-wide stop decision.
+
+        A preemption signal may reach only some hosts of a multi-process
+        run; if each host acted on its local flag alone, the signalled
+        hosts would checkpoint-and-exit while the rest entered the next
+        epoch's collectives and hung until the job deadline. This
+        all-gathers the local flag across processes (max-reduce), so every
+        host exits the loop on the same epoch. Must be called at the same
+        point in the epoch loop on every process (it is a collective when
+        ``jax.process_count() > 1``); single-process runs short-circuit.
+        """
+        import jax
+
+        if jax.process_count() <= 1:
+            return self.requested
+        import numpy as np
+        from jax.experimental import multihost_utils
+
+        flags = multihost_utils.process_allgather(
+            np.asarray(int(self.requested), np.int32))
+        return bool(np.max(flags) > 0)
