@@ -48,7 +48,13 @@ def main() -> None:
                              "distance / chunked kNN instead of Hungarian matching")
     parser.add_argument("--checkpoint-dir", type=str, default="checkpoints")
     parser.add_argument("--generator", choices=["bilstm", "mlp", "transformer"],
-                        default="bilstm", help="generator family")
+                        default=None, help="generator family (default: what the "
+                        "checkpoint's run metadata records, else bilstm)")
+    parser.add_argument("--time-head", choices=["tanh", "monotone"], default=None,
+                        help="generator time-channel head (default: what the "
+                             "checkpoint's run metadata records, else tanh)")
+    parser.add_argument("--gen-hidden", type=int, default=None,
+                        help="BiLSTM hidden dim (default: run metadata, else 48)")
     parser.add_argument("--precision", choices=["float32", "bfloat16"],
                         default="float32",
                         help="generation compute precision (metrics always fp32; "
@@ -75,8 +81,17 @@ def main() -> None:
     log("")
     seed_everything(args.seed)
 
-    model_config = ModelConfig(generator_type=args.generator,
-                               compute_dtype=args.precision)
+    # Architecture knobs default to what the training run recorded in its
+    # run-metadata sidecar, so `eval_gan.py --checkpoint-dir D` restores any
+    # generator family/head without re-specifying flags.
+    from wordgesture_gan_tpu.train.checkpoint import load_run_metadata
+
+    meta = load_run_metadata(args.checkpoint_dir)
+    model_config = ModelConfig(
+        generator_type=args.generator or meta.get("generator_type", "bilstm"),
+        time_head=args.time_head or meta.get("time_head", "tanh"),
+        gen_hidden_dim=args.gen_hidden or meta.get("gen_hidden_dim", 48),
+        compute_dtype=args.precision)
     training_config = TrainingConfig()
     eval_config = EvaluationConfig(
         n_samples=args.n_samples,

@@ -41,7 +41,9 @@ def main() -> None:
     parser.add_argument("--out", type=str, default="gestures.npz")
     parser.add_argument("--checkpoint-dir", type=str, default="checkpoints")
     parser.add_argument("--generator", choices=["bilstm", "mlp", "transformer"],
-                        default="bilstm")
+                        default=None, help="default: the checkpoint's run metadata")
+    parser.add_argument("--time-head", choices=["tanh", "monotone"], default=None,
+                        help="default: the checkpoint's run metadata")
     parser.add_argument("--precision", choices=["float32", "bfloat16"],
                         default="bfloat16")
     args = parser.parse_args()
@@ -67,7 +69,13 @@ def main() -> None:
     if not words:
         parser.error("provide --words or --words-file")
 
+    from wordgesture_gan_tpu.train.checkpoint import load_run_metadata
+
+    meta = load_run_metadata(args.checkpoint_dir)
+    args.generator = args.generator or meta.get("generator_type", "bilstm")
     model_config = ModelConfig(generator_type=args.generator,
+                               time_head=args.time_head or meta.get("time_head", "tanh"),
+                               gen_hidden_dim=meta.get("gen_hidden_dim", 48),
                                compute_dtype=args.precision)
     template = init_gan_state(args.seed, model_config, TrainingConfig())
     state = restore_checkpoint(template, args.checkpoint_dir)

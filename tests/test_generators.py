@@ -90,3 +90,46 @@ def test_transformer_pad_mask():
     out_nomask = transformer_generator_apply(params, proto, z, cfg)
     out_nomask2 = transformer_generator_apply(params, proto2, z, cfg)
     assert not np.allclose(out_nomask[:, :16], out_nomask2[:, :16], atol=1e-5)
+
+
+@pytest.mark.parametrize("gen_type", ["bilstm", "mlp", "transformer"])
+def test_monotone_time_head(inputs, gen_type):
+    """time_head='monotone': t starts at 0, ends at 1, strictly increases;
+    xy stays in [-1, 1]; gradients flow into the time logits."""
+    proto, z = inputs
+    cfg = _cfg(gen_type, time_head="monotone")
+    params = generator_init(jax.random.PRNGKey(1), cfg)
+    out = np.asarray(generator_apply(params, proto, z, cfg))
+    t = out[:, :, 2]
+    np.testing.assert_allclose(t[:, 0], 0.0, atol=1e-7)
+    np.testing.assert_allclose(t[:, -1], 1.0, atol=1e-5)
+    assert (np.diff(t, axis=1) > 0).all(), "time must be strictly monotone"
+    assert np.abs(out[:, :, :2]).max() <= 1.0
+
+    # Same parameter pytree as the tanh head (mode is activation-only).
+    tanh_params = generator_init(jax.random.PRNGKey(1), _cfg(gen_type))
+    assert jax.tree.structure(params) == jax.tree.structure(tanh_params)
+
+    # The time channel's value must carry gradient back to the parameters.
+    def t_loss(p):
+        g = generator_apply(p, proto, z, cfg)
+        return (g[:, :, 2] ** 2).mean()
+
+    grads = jax.grad(t_loss)(params)
+    gnorm = sum(float(jnp.abs(g).sum()) for g in jax.tree.leaves(grads))
+    assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_monotone_head_trains_through_two_cycle_step(inputs):
+    proto, z = inputs
+    mcfg = _cfg("bilstm", time_head="monotone")
+    tcfg = TrainingConfig(batch_size=B, n_critic=1)
+    state = init_gan_state(0, mcfg, tcfg)
+    # A plausible gesture batch: monotone time channel like real data.
+    t = jnp.broadcast_to(jnp.linspace(0, 1, 32), (B, 32))
+    gesture = jnp.concatenate([proto[:, :, :2], t[:, :, None]], axis=-1)
+    batch = {"gesture": gesture, "prototype": proto}
+    step = jax.jit(lambda s, b, lr: gan_train_step(s, b, lr, mcfg, tcfg))
+    new_state, metrics = step(state, batch, jnp.float32(2e-4))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k

@@ -36,6 +36,19 @@ def main() -> None:
     parser.add_argument("--checkpoint-dir", type=str, default="checkpoints")
     parser.add_argument("--generator", choices=["bilstm", "mlp", "transformer"],
                         default="bilstm", help="generator family")
+    parser.add_argument("--time-head", choices=["tanh", "monotone"],
+                        default="monotone",
+                        help="time-channel output head: 'monotone' (cumsum of "
+                             "softmax increments — learnable clock warp, the "
+                             "quality default) or 'tanh' (reference parity; "
+                             "its velocity/accel correlations collapse to ~0 "
+                             "— see ModelConfig.time_head)")
+    parser.add_argument("--lambda-rec", type=float, default=None,
+                        help="override reconstruction-loss weight (default 4.0)")
+    parser.add_argument("--lambda-kld", type=float, default=None,
+                        help="override KLD weight (default 0.02)")
+    parser.add_argument("--gen-hidden", type=int, default=None,
+                        help="override BiLSTM generator hidden dim (default 48)")
     parser.add_argument("--wandb", action="store_true", help="log to wandb")
     parser.add_argument("--profile-dir", type=str, default=None,
                         help="capture a jax.profiler trace into this dir")
@@ -65,8 +78,15 @@ def main() -> None:
 
     model_config = ModelConfig(
         generator_type="transformer" if args.variable_length else args.generator,
-        compute_dtype=args.precision)
-    training_config = TrainingConfig(num_epochs=args.epochs, batch_size=args.batch_size)
+        compute_dtype=args.precision,
+        # The monotone head assumes a fixed-length clock (t[L-1]=1); the
+        # variable-length path masks trailing positions, so it keeps tanh.
+        time_head="tanh" if args.variable_length else args.time_head,
+        **({"gen_hidden_dim": args.gen_hidden} if args.gen_hidden else {}))
+    training_config = TrainingConfig(
+        num_epochs=args.epochs, batch_size=args.batch_size,
+        **{k: v for k, v in (("lambda_rec", args.lambda_rec),
+                             ("lambda_kld", args.lambda_kld)) if v is not None})
     runtime_config = RuntimeConfig(data_axis_size=args.data_axis_size,
                                    precision=args.precision)
 
@@ -104,6 +124,12 @@ def main() -> None:
     )
     if wb is not None:
         save_run_metadata(args.checkpoint_dir, wandb_run_id=wb.run.id)
+    # Persist the architecture knobs eval must match to restore the
+    # checkpoint (eval_gan.py defaults to these when flags are omitted).
+    save_run_metadata(args.checkpoint_dir,
+                      generator_type=model_config.generator_type,
+                      time_head=model_config.time_head,
+                      gen_hidden_dim=model_config.gen_hidden_dim)
 
     from wordgesture_gan_tpu.train.gan_loop import generate_gestures, train_gan
 

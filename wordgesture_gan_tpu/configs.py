@@ -57,6 +57,22 @@ class ModelConfig:
     # learn timing from spatial curvature (reference config.py:30).
     prototype_has_time: bool = False
 
+    # Output head for the time channel:
+    #   "tanh"     — reference parity: all three channels through tanh
+    #                (reference models.py:123,163). The normalized clock has
+    #                mean increment 1/(L-1) ≈ 0.008, so tiny absolute errors
+    #                in adjacent t values produce huge RELATIVE dt errors
+    #                (and non-monotone time), which blow up every
+    #                velocity = dxy/dt metric — measured velocity/accel
+    #                correlations collapse to ~0 for tanh-headed generators
+    #                even when their spatial fidelity is excellent.
+    #   "monotone" — xy through tanh; t parameterized as the cumsum of a
+    #                softmax over L-1 increment logits (t0=0, tL-1=1):
+    #                monotone and normalized by construction, timing errors
+    #                become relative, and "slow at corners" is directly
+    #                learnable. Initialized logits ≈ 0 give uniform time.
+    time_head: str = "tanh"
+
     # Variational encoder (MLP)
     enc_hidden_dims: Tuple[int, ...] = (192, 96, 48, 32)
 

@@ -18,6 +18,9 @@ and each trace layers non-min-jerk structure on top of the smooth base path:
 * tempo warping — a smooth random speed profile multiplying the clock;
 * mid-gesture pauses — dwell points where time advances but the finger
   doesn't;
+* per-trace style jitter — each trace deviates from its user's persistent
+  style (jitter_style), so same-word clusters have real-data-like spread
+  and contrastive retrieval doesn't saturate;
 * occasional malformed rows — the pipeline's per-file guards must earn
   their keep.
 
@@ -106,6 +109,33 @@ def sample_user_style(rng: np.random.Generator) -> UserStyle:
     )
 
 
+def jitter_style(style: UserStyle, rng: np.random.Generator,
+                 amount: float = 1.0) -> UserStyle:
+    """Per-trace deviation around a user's persistent style.
+
+    Real swipers are not metronomes: hand pose, attention, and fatigue vary
+    between traces, so two gestures of the same word by the same user differ
+    by more than sensor noise. Without this, per-word gesture clusters are
+    so tight that contrastive retrieval saturates (synthetic recall@1 ≈ 0.98
+    vs the reference's 95.87% on real data) and stops working as a
+    regression oracle. Multiplicative lognormal on the positive knobs,
+    additive on the aim bias; ``amount`` scales every deviation.
+    """
+    def e(s: float) -> float:
+        return float(np.exp(rng.normal(0.0, s * amount)))
+
+    return UserStyle(
+        speed=style.speed * e(0.18),
+        bias_x=style.bias_x + float(rng.normal(0.0, 0.010 * amount)),
+        bias_y=style.bias_y + float(rng.normal(0.0, 0.010 * amount)),
+        sloppiness=style.sloppiness * e(0.35),
+        corner_cut=float(np.clip(style.corner_cut * e(0.45), 0.0, 0.9)),
+        overshoot=style.overshoot * e(0.45),
+        pause_prob=style.pause_prob,
+        tempo_wobble=style.tempo_wobble * e(0.30),
+    )
+
+
 def _smooth_noise(rng: np.random.Generator, n: int, scale: float, half_window: int = 6) -> np.ndarray:
     """Correlated (low-frequency) 1-D noise: white noise box-filtered twice.
     Unlike white sensor jitter this survives the pipeline's arc-length
@@ -165,6 +195,9 @@ def _render_word_trace(
         return None
     if style is None:
         style = sample_user_style(rng)
+    # Persistent style + per-trace deviation (see jitter_style): the user
+    # stays recognizable, but same-user-same-word traces are not clones.
+    style = jitter_style(style, rng)
 
     waypoints = _perturb_waypoints(np.asarray(centers), style, rng)
 

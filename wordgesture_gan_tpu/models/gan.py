@@ -41,6 +41,33 @@ def _compute_dtype(config) -> jnp.dtype:
     and losses stay float32 — see layers.cast_floats for the contract."""
     return jnp.dtype(getattr(config, "compute_dtype", "float32") if config is not None else "float32")
 
+
+def apply_time_head(raw: jnp.ndarray, mode: str) -> jnp.ndarray:
+    """Output-head activation for a generator's raw (B, L, 3) pre-activations.
+
+    ``mode="tanh"`` is the reference head (models.py:123,163): tanh on all
+    three channels. ``mode="monotone"`` keeps tanh on (x, y) but builds the
+    time channel as the cumsum of softmax'd increment logits — t[0] = 0,
+    t[L-1] = 1, strictly increasing — so the generator models the *clock
+    warp* (where time dilates: corners, pauses) rather than 128 nearly-equal
+    absolute timestamps whose finite differences are numerically hostile
+    (see ModelConfig.time_head). Shapes and parameter layout are identical
+    in both modes; only this activation differs."""
+    if mode == "tanh":
+        return jnp.tanh(raw)
+    if mode != "monotone":
+        raise ValueError(f"unknown time_head mode: {mode!r}")
+    xy = jnp.tanh(raw[..., :2])
+    # L-1 increment logits (the position-0 logit is unused so the parameter
+    # layout matches the tanh head exactly). Softmax in fp32: 127-way
+    # normalization of bf16 exponentials loses the very resolution the
+    # monotone head exists to provide.
+    logits = raw[..., 1:, 2].astype(jnp.float32)
+    inc = jax.nn.softmax(logits, axis=-1)
+    t = jnp.cumsum(inc, axis=-1)
+    t = jnp.concatenate([jnp.zeros_like(t[..., :1]), t], axis=-1)
+    return jnp.concatenate([xy, t[..., None].astype(xy.dtype)], axis=-1)
+
 # ---------------------------------------------------------------------------
 # Variational encoder (reference models.py:18-86)
 # ---------------------------------------------------------------------------
@@ -158,7 +185,8 @@ def generator_apply(
 
                 h = bilstm_train_apply(params["lstm"], proto, z,
                                        config.gen_hidden_dim, dtype=dtype)
-            return jnp.tanh(dense(params["out"], h.astype(jnp.float32)))
+            return apply_time_head(dense(params["out"], h.astype(jnp.float32)),
+                                   config.time_head)
 
     lstm = params["lstm"]
     zc = z
@@ -174,7 +202,7 @@ def generator_apply(
     # input projected once — w_ih rows stay ordered [proto | z].
     h = bilstm_apply(lstm, proto, config.gen_hidden_dim, static=zc)
     h = h.astype(jnp.float32)
-    return jnp.tanh(dense(params["out"], h))
+    return apply_time_head(dense(params["out"], h), config.time_head)
 
 
 # ---------------------------------------------------------------------------

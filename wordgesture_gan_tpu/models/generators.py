@@ -66,7 +66,9 @@ def mlp_generator_apply(params, prototype: jnp.ndarray, z: jnp.ndarray,
     for layer in mlp:
         h = leaky_relu(dense(layer, h))
     out = dense(params["out"], h.astype(jnp.float32))
-    return jnp.tanh(out.reshape(B, L, config.input_dim))
+    from .gan import apply_time_head
+
+    return apply_time_head(out.reshape(B, L, config.input_dim), config.time_head)
 
 
 # ---------------------------------------------------------------------------
@@ -156,4 +158,6 @@ def transformer_generator_apply(
         h = h + m
 
     h = _layernorm(params["ln_f"], h.astype(jnp.float32))
-    return jnp.tanh(dense(params["out"], h))
+    from .gan import apply_time_head
+
+    return apply_time_head(dense(params["out"], h), config.time_head)

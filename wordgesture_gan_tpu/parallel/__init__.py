@@ -3,4 +3,13 @@ from .distributed import (
     maybe_init_distributed,
     process_local_batch_slice,
 )
-from .mesh import batch_sharding, create_mesh, packed_replicate, replicate, replicated, shard_batch
+from .mesh import (
+    batch_sharding,
+    create_mesh,
+    global_replicate,
+    global_shard,
+    packed_replicate,
+    replicate,
+    replicated,
+    shard_batch,
+)

@@ -56,6 +56,55 @@ def replicate(mesh: Mesh, tree):
     return jax.device_put(tree, jax.tree.map(lambda _: sharding, tree))
 
 
+def global_replicate(mesh: Mesh, tree):
+    """Replicate a host pytree over a mesh that may span processes.
+
+    Single-process: packed_replicate (one transfer per dtype). Multi-process
+    (`jax.process_count() > 1`): ``jax.device_put`` cannot address other
+    hosts' devices, so each process contributes its own identical host copy
+    as the local shard of a fully-replicated global array
+    (``jax.make_array_from_process_local_data``). Every process must hold
+    the same values — true for deterministic init and checkpoint restores
+    from a shared filesystem.
+    """
+    if jax.process_count() == 1:
+        return packed_replicate(mesh, tree)
+    sharding = replicated(mesh)
+
+    def mk(x):
+        a = np.asarray(x)
+        return jax.make_array_from_process_local_data(sharding, a, a.shape)
+
+    return jax.tree.map(mk, tree)
+
+
+def global_shard(mesh: Mesh, tree, batch_axis: int = 0):
+    """Place a host batch pytree with ``batch_axis`` sharded over ``data``,
+    multi-process-safe.
+
+    Single-process: one batched device_put (shard_batch). Multi-process:
+    each process feeds only its contiguous block of the batch axis
+    (process_local_batch_slice — GSPMD ceil-division block layout over the
+    process-grouped device order of ``jax.devices()``), assembled into a
+    global array with ``jax.make_array_from_process_local_data``. This is
+    the production multi-host data-feeding path (SURVEY.md §2.9): host
+    loaders never touch non-addressable devices.
+    """
+    if jax.process_count() == 1:
+        return shard_batch(mesh, tree, batch_axis)
+    from .distributed import process_local_batch_slice
+
+    sharding = batch_sharding(mesh, batch_axis)
+
+    def mk(x):
+        a = np.asarray(x)
+        rows = process_local_batch_slice(a.shape[batch_axis])
+        index = (slice(None),) * batch_axis + (rows,)
+        return jax.make_array_from_process_local_data(sharding, a[index], a.shape)
+
+    return jax.tree.map(mk, tree)
+
+
 def packed_replicate(mesh: Mesh, tree):
     """Replicate a many-leaf pytree with ONE transfer per dtype.
 

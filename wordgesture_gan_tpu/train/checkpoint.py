@@ -57,7 +57,13 @@ def save_checkpoint(state: Dict, checkpoint_dir: str, epoch: int, keep_latest: b
     ``latest`` is a relative symlink to the new ``epoch_{N}`` directory —
     one Orbax write instead of two, and the swap (symlink + os.replace) is
     atomic, so no crash can leave a run without a restorable ``latest``.
+
+    Multi-process runs: the state is fully replicated, so only process 0
+    writes (all hosts calling rmtree/rename on a shared checkpoint dir
+    would corrupt each other's swaps).
     """
+    if jax.process_index() != 0:
+        return
     base = Path(checkpoint_dir).absolute()
     base.mkdir(parents=True, exist_ok=True)
     host_state = _as_host(state)
@@ -80,7 +86,10 @@ def save_checkpoint(state: Dict, checkpoint_dir: str, epoch: int, keep_latest: b
 
 
 def save_named(state: Dict, checkpoint_dir: str, name: str) -> None:
-    """Crash-safe standalone named snapshot (e.g. ``contrastive_latest``)."""
+    """Crash-safe standalone named snapshot (e.g. ``contrastive_latest``).
+    Process-0-only, like save_checkpoint."""
+    if jax.process_index() != 0:
+        return
     base = Path(checkpoint_dir).absolute()
     base.mkdir(parents=True, exist_ok=True)
     host_state = _as_host(state)

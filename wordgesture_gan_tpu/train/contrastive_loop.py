@@ -27,7 +27,7 @@ from ..configs import (
 from ..data.contrastive import ContrastiveArrays, sample_epoch_batches
 from ..losses import supervised_contrastive_loss
 from ..models.contrastive import contrastive_encoder_apply, contrastive_encoder_init
-from ..parallel.mesh import batch_sharding, create_mesh, packed_replicate, replicate
+from ..parallel.mesh import create_mesh, global_replicate, global_shard
 from ..utils.logging import log
 from ..utils.preemption import PreemptionGuard
 from .checkpoint import restore_checkpoint, save_checkpoint, save_named
@@ -123,7 +123,12 @@ def embed_gestures(state: Dict, gestures: np.ndarray, config: ContrastiveConfig,
         return np.zeros((0, config.embedding_dim), np.float32)
     from ..utils.chunking import chunk_layout, pad_to_chunks
 
-    params_dev = jax.device_put({"params": state["params"], "bn": state["bn"]})
+    pd = {"params": state["params"], "bn": state["bn"]}
+    if jax.process_count() > 1:
+        # Global (replicated) arrays can't be device_put to one local device
+        # directly; pull the host copy first (cheap — encoder is ~100k params).
+        pd = jax.tree.map(np.asarray, pd)
+    params_dev = jax.device_put(pd)
     batch, n_chunks = chunk_layout(n, batch)
     padded = pad_to_chunks(gestures, batch, n_chunks)
     return np.asarray(_embed_scanned(params_dev, jnp.asarray(padded), batch, n_chunks))[:n]
@@ -186,12 +191,15 @@ def train_contrastive(
     tests/test_contrastive.py::test_sharded_contrastive_epoch_matches)."""
     import random as _random
 
-    say = log if verbose else (lambda *_: None)
+    multi = jax.process_count() > 1
+    is_main = jax.process_index() == 0
+    say = log if (verbose and is_main) else (lambda *_: None)
     num_epochs = num_epochs or config.num_epochs
 
     mesh = create_mesh(runtime_config.data_axis_size, runtime_config.mesh_axis_names)
     n_shards = mesh.devices.size
-    say(f"Mesh: {n_shards} device(s) on axis {runtime_config.mesh_axis_names}")
+    say(f"Mesh: {n_shards} device(s) on axis {runtime_config.mesh_axis_names}"
+        + (f" across {jax.process_count()} processes" if multi else ""))
 
     state = init_contrastive_state(seed, config)
     start_epoch = 0
@@ -202,11 +210,13 @@ def train_contrastive(
             start_epoch = int(np.asarray(state["epoch"]))
             truncate_history(checkpoint_dir, start_epoch)
             say(f"Resumed contrastive training from epoch {start_epoch}")
-    state = packed_replicate(mesh, state)
+    state = global_replicate(mesh, state)
 
-    g_dev = replicate(mesh, jnp.asarray(train_data.gestures, jnp.float32))
-    l_dev = replicate(mesh, jnp.asarray(train_data.labels, jnp.int32))
-    idx_shard = batch_sharding(mesh, batch_axis=1)     # (n_batches, B)
+    # The gesture store is replicated (it is gathered from inside the step);
+    # global_replicate handles both single-host (device_put) and multi-host
+    # (each process contributes its identical host copy).
+    g_dev = global_replicate(mesh, np.asarray(train_data.gestures, np.float32))
+    l_dev = global_replicate(mesh, np.asarray(train_data.labels, np.int32))
 
     n_batches = len([w for w in train_data.unique_words
                      if len(train_data.word_to_indices[w]) >= config.gestures_per_word]
@@ -238,7 +248,8 @@ def train_contrastive(
             )
             t0 = time.perf_counter()
             state, losses = epoch_fn(state, g_dev, l_dev,
-                                     jax.device_put(jnp.asarray(batch_idx), idx_shard))
+                                     global_shard(mesh, np.asarray(batch_idx),
+                                                  batch_axis=1))
             jax.block_until_ready(losses)
             dt = time.perf_counter() - t0
             avg_loss = float(np.mean(np.asarray(losses)))

@@ -28,7 +28,13 @@ from ..configs import (
 )
 from ..data.pipeline import GestureArrays
 from ..models.gan import generator_apply
-from ..parallel.mesh import batch_sharding, create_mesh, packed_replicate, replicate
+from ..parallel.mesh import (
+    batch_sharding,
+    create_mesh,
+    global_replicate,
+    global_shard,
+    replicate,
+)
 from ..utils.logging import log
 from ..utils.preemption import PreemptionGuard
 from ..utils.profiling import Throughput
@@ -68,16 +74,29 @@ def train_gan(
     figures / wandb); checkpoints at ``save_every`` cadence + final epoch
     (reference train_gan.py:189-196).
     """
-    say = log if verbose else (lambda *_: None)
+    multi = jax.process_count() > 1
+    is_main = jax.process_index() == 0
+    say = log if (verbose and is_main) else (lambda *_: None)
     num_epochs = num_epochs or training_config.num_epochs
 
     mesh = create_mesh(runtime_config.data_axis_size, runtime_config.mesh_axis_names)
     n_shards = mesh.devices.size
-    say(f"Mesh: {n_shards} device(s) on axis {runtime_config.mesh_axis_names}")
+    say(f"Mesh: {n_shards} device(s) on axis {runtime_config.mesh_axis_names}"
+        + (f" across {jax.process_count()} processes" if multi else ""))
 
-    # Device-resident dataset, replicated (small); batches get sharded.
-    g_dev = replicate(mesh, jnp.asarray(train_ds.gestures, jnp.float32))
-    p_dev = replicate(mesh, jnp.asarray(train_ds.prototypes, jnp.float32))
+    if multi:
+        # Multi-host (pod) path: the dataset stays in host memory on every
+        # process; each epoch's batch stack is assembled host-side and each
+        # process feeds only its local block of the global batch axis
+        # (global_shard → jax.make_array_from_process_local_data). device_put
+        # cannot address other hosts' devices, so the single-host
+        # device-resident shuffle below is unusable here.
+        g_host = np.ascontiguousarray(train_ds.gestures, np.float32)
+        p_host = np.ascontiguousarray(train_ds.prototypes, np.float32)
+    else:
+        # Device-resident dataset, replicated (small); batches get sharded.
+        g_dev = replicate(mesh, jnp.asarray(train_ds.gestures, jnp.float32))
+        p_dev = replicate(mesh, jnp.asarray(train_ds.prototypes, jnp.float32))
 
     state = init_gan_state(seed, model_config, training_config)
     start_epoch = 0
@@ -88,7 +107,7 @@ def train_gan(
             start_epoch = int(np.asarray(state["epoch"]))
             truncate_history(checkpoint_dir, start_epoch)
             say(f"Resumed from checkpoint at epoch {start_epoch}")
-    state = packed_replicate(mesh, state)
+    state = global_replicate(mesh, state)
 
     if start_epoch >= num_epochs:
         say(f"Already trained to epoch {start_epoch}, nothing to do.")
@@ -146,10 +165,23 @@ def train_gan(
                 )
             )
             shuffle_key = jax.random.fold_in(jax.random.PRNGKey(seed ^ 0x5EED), epoch)
-            batches = make_epoch_batches(
-                shuffle_key, g_dev, p_dev, training_config.batch_size
-            )
-            batches = jax.tree.map(lambda x: jax.device_put(x, batch_shard), batches)
+            if multi:
+                # Same permutation stream as the single-host device shuffle
+                # (threefry is backend/topology-invariant), computed on the
+                # local default device and applied host-side.
+                B = training_config.batch_size
+                n = g_host.shape[0]
+                nb = n // B
+                sel = np.asarray(jax.random.permutation(shuffle_key, n))[: nb * B]
+                batches = global_shard(mesh, {
+                    "gesture": g_host[sel].reshape(nb, B, *g_host.shape[1:]),
+                    "prototype": p_host[sel].reshape(nb, B, *p_host.shape[1:]),
+                }, batch_axis=1)
+            else:
+                batches = make_epoch_batches(
+                    shuffle_key, g_dev, p_dev, training_config.batch_size
+                )
+                batches = jax.tree.map(lambda x: jax.device_put(x, batch_shard), batches)
 
             t0 = time.perf_counter()
             state, traces = epoch_fn(state, batches, lr)
@@ -181,7 +213,7 @@ def train_gan(
                 f"LR:{float(lr):.6f}"
             )
 
-            if epoch_callback is not None:
+            if epoch_callback is not None and is_main:
                 epoch_callback(epoch, state, losses)
 
             saved = False
@@ -247,7 +279,12 @@ def generate_gestures(
     """
     from ..utils.chunking import chunk_layout, pad_to_chunks
 
-    g_params = jax.device_put(state["g"]["params"])
+    g_params = state["g"]["params"]
+    if jax.process_count() > 1:
+        # Replicated global arrays can't be device_put to one local device
+        # directly; pull the (identical) host copy first.
+        g_params = jax.tree.map(np.asarray, g_params)
+    g_params = jax.device_put(g_params)
     n = len(prototypes)
     if n == 0:
         return np.zeros((0, *prototypes.shape[1:]), np.float32)

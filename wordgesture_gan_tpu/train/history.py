@@ -19,7 +19,7 @@ from typing import Mapping, Optional
 def append_history(checkpoint_dir: Optional[str], epoch: int,
                    losses: Mapping[str, float]) -> None:
     """Append one epoch record (1-based ``epoch`` field in the file)."""
-    if not checkpoint_dir:
+    if not checkpoint_dir or _not_main_process():
         return
     path = Path(checkpoint_dir)
     path.mkdir(parents=True, exist_ok=True)
@@ -27,11 +27,18 @@ def append_history(checkpoint_dir: Optional[str], epoch: int,
         f.write(json.dumps({"epoch": epoch + 1, **losses}) + "\n")
 
 
+def _not_main_process() -> bool:
+    # Multi-process runs share the checkpoint dir; only process 0 writes.
+    import jax
+
+    return jax.process_index() != 0
+
+
 def truncate_history(checkpoint_dir: Optional[str], restored_epoch: int) -> None:
     """Drop records with ``epoch > restored_epoch`` (epochs that ran after
     the checkpoint being resumed from — they are about to be re-run).
     Rewrites atomically; malformed lines are dropped."""
-    if not checkpoint_dir:
+    if not checkpoint_dir or _not_main_process():
         return
     path = Path(checkpoint_dir) / "history.jsonl"
     if not path.exists():

@@ -23,7 +23,13 @@ from ..configs import (
     TrainingConfig,
 )
 from ..data.variable_length import VariableGestureArrays
-from ..parallel.mesh import batch_sharding, create_mesh, packed_replicate, replicate
+from ..parallel.mesh import (
+    batch_sharding,
+    create_mesh,
+    global_replicate,
+    global_shard,
+    replicate,
+)
 from ..utils.logging import log
 from ..utils.preemption import PreemptionGuard
 from ..utils.profiling import Throughput
@@ -51,7 +57,9 @@ def train_variable_gan(
     assert model_config.generator_type == "transformer", (
         "--variable-length training uses the transformer generator"
     )
-    say = log if verbose else (lambda *_: None)
+    multi = jax.process_count() > 1
+    is_main = jax.process_index() == 0
+    say = log if (verbose and is_main) else (lambda *_: None)
     num_epochs = num_epochs or training_config.num_epochs
 
     mesh = create_mesh(runtime_config.data_axis_size, runtime_config.mesh_axis_names)
@@ -59,9 +67,18 @@ def train_variable_gan(
     say(f"Mesh: {n_shards} device(s) on axis {runtime_config.mesh_axis_names} "
         f"(variable-length, masked)")
 
-    g_dev = replicate(mesh, jnp.asarray(train_ds.gestures, jnp.float32))
-    p_dev = replicate(mesh, jnp.asarray(train_ds.prototypes, jnp.float32))
-    m_dev = replicate(mesh, jnp.asarray(train_ds.masks(), jnp.float32))
+    if multi:
+        # Multi-host: host-resident dataset, per-process local batch feeding
+        # (same contract as gan_loop.train_gan — see its multi branch).
+        host_store = {
+            "gesture": np.ascontiguousarray(train_ds.gestures, np.float32),
+            "prototype": np.ascontiguousarray(train_ds.prototypes, np.float32),
+            "mask": np.ascontiguousarray(train_ds.masks(), np.float32),
+        }
+    else:
+        g_dev = replicate(mesh, jnp.asarray(train_ds.gestures, jnp.float32))
+        p_dev = replicate(mesh, jnp.asarray(train_ds.prototypes, jnp.float32))
+        m_dev = replicate(mesh, jnp.asarray(train_ds.masks(), jnp.float32))
 
     state = init_gan_state(seed, model_config, training_config)
     start_epoch = 0
@@ -72,7 +89,7 @@ def train_variable_gan(
             start_epoch = int(np.asarray(state["epoch"]))
             truncate_history(checkpoint_dir, start_epoch)
             say(f"Resumed from checkpoint at epoch {start_epoch}")
-    state = packed_replicate(mesh, state)
+    state = global_replicate(mesh, state)
 
     if start_epoch >= num_epochs:
         say(f"Already trained to epoch {start_epoch}, nothing to do.")
@@ -128,9 +145,19 @@ def train_variable_gan(
                 training_config.learning_rate, epoch, num_epochs,
                 training_config.lr_scheduler_eta_min))
             shuffle_key = jax.random.fold_in(jax.random.PRNGKey(seed ^ 0x5EED), epoch)
-            batches = make_epoch_batches_masked(shuffle_key, g_dev, p_dev, m_dev,
-                                                training_config.batch_size)
-            batches = jax.tree.map(lambda x: jax.device_put(x, batch_shard), batches)
+            if multi:
+                B = training_config.batch_size
+                n = host_store["gesture"].shape[0]
+                nb = n // B
+                sel = np.asarray(jax.random.permutation(shuffle_key, n))[: nb * B]
+                batches = global_shard(mesh, {
+                    k: v[sel].reshape(nb, B, *v.shape[1:])
+                    for k, v in host_store.items()
+                }, batch_axis=1)
+            else:
+                batches = make_epoch_batches_masked(shuffle_key, g_dev, p_dev, m_dev,
+                                                    training_config.batch_size)
+                batches = jax.tree.map(lambda x: jax.device_put(x, batch_shard), batches)
 
             t0 = time.perf_counter()
             state, traces = epoch_fn(state, batches, lr)
@@ -156,7 +183,7 @@ def train_variable_gan(
                 f"C1:{losses['cycle1_total']:.3f} C2:{losses['cycle2_total']:.3f} "
                 f"Rec:{losses['cycle2_rec']:.3f} LR:{float(lr):.6f}")
 
-            if epoch_callback is not None:
+            if epoch_callback is not None and is_main:
                 epoch_callback(epoch, state, losses)
             saved = False
             if checkpoint_dir and (
@@ -217,7 +244,10 @@ def generate_variable_gestures(
 ) -> np.ndarray:
     """Batched masked sampling from a variable-length (transformer) GAN.
     Padding positions come back zeroed; consumers use the mask/lengths."""
-    g_params = jax.device_put(state["g"]["params"])
+    g_params = state["g"]["params"]
+    if jax.process_count() > 1:
+        g_params = jax.tree.map(np.asarray, g_params)   # see gan_loop.generate_gestures
+    g_params = jax.device_put(g_params)
     n = len(prototypes)
     if n == 0:
         return np.zeros((0, *prototypes.shape[1:]), np.float32)
