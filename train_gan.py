@@ -47,6 +47,12 @@ def main() -> None:
                         help="override reconstruction-loss weight (default 4.0)")
     parser.add_argument("--lambda-kld", type=float, default=None,
                         help="override KLD weight (default 0.02)")
+    parser.add_argument("--lambda-dt", type=float, default=None,
+                        help="weight of the cycle-2 time-increment-pattern L1 "
+                             "(losses.time_delta_loss; default 0 = off)")
+    parser.add_argument("--lambda-speed", type=float, default=None,
+                        help="weight of the cycle-2 speed-profile correlation "
+                             "loss (losses.speed_profile_loss; default 0 = off)")
     parser.add_argument("--gen-hidden", type=int, default=None,
                         help="override BiLSTM generator hidden dim (default 48)")
     parser.add_argument("--wandb", action="store_true", help="log to wandb")
@@ -86,7 +92,9 @@ def main() -> None:
     training_config = TrainingConfig(
         num_epochs=args.epochs, batch_size=args.batch_size,
         **{k: v for k, v in (("lambda_rec", args.lambda_rec),
-                             ("lambda_kld", args.lambda_kld)) if v is not None})
+                             ("lambda_kld", args.lambda_kld),
+                             ("lambda_dt", args.lambda_dt),
+                             ("lambda_speed", args.lambda_speed)) if v is not None})
     runtime_config = RuntimeConfig(data_axis_size=args.data_axis_size,
                                    precision=args.precision)
 

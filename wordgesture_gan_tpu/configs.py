@@ -107,6 +107,15 @@ class TrainingConfig:
     lambda_lat: float = 0.5
     lambda_kld: float = 0.02
 
+    # Timing-dynamics auxiliaries on the cycle-2 reconstruction (repo
+    # addition; 0 = reference-parity off). lambda_dt weights an L1 on the
+    # per-segment time-increment pattern, lambda_speed a (1 − Pearson) loss
+    # on the |v| profiles — the terms that actually carry the tempo warp
+    # the velocity/speed/time-delta correlation metrics measure
+    # (losses.time_delta_loss / speed_profile_loss).
+    lambda_dt: float = 0.0
+    lambda_speed: float = 0.0
+
     # Dataset balancing / split
     max_samples_per_word: int = 5
     train_ratio: float = 0.8

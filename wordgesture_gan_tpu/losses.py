@@ -59,6 +59,47 @@ def kl_divergence_loss(mu: jnp.ndarray, log_var: jnp.ndarray) -> jnp.ndarray:
     return kld.mean()
 
 
+# --- Timing-dynamics auxiliaries (repo addition, no reference equivalent) ----
+#
+# The plain L1 reconstruction treats the time channel as 128 near-equal
+# absolute values (mean increment 1/127), so the Δt *pattern* — the tempo
+# warp that drives the reference's velocity/speed/time-delta correlation
+# metrics (/root/reference/src/gan/evaluation.py:157-294) — contributes
+# almost nothing to the loss. After arc-length-uniform resampling |Δxy| is
+# ~constant per gesture, so those three metrics are dominated by the Δt
+# pattern; these terms supervise it directly in cycle 2.
+
+
+def time_delta_loss(real: jnp.ndarray, fake: jnp.ndarray) -> jnp.ndarray:
+    """Mean L1 between per-segment time increments, scaled by (L-1) so a
+    uniform-clock output against a strongly warped target costs O(1)."""
+    L = real.shape[1]
+    dtr = jnp.diff(real[:, :, 2], axis=1)
+    dtf = jnp.diff(fake[:, :, 2], axis=1)
+    return ((L - 1) * jnp.abs(dtf - dtr)).mean()
+
+
+def speed_profile_loss(real: jnp.ndarray, fake: jnp.ndarray,
+                       eps: float = 1e-4) -> jnp.ndarray:
+    """1 − mean per-pair Pearson correlation of the |v| profiles — the
+    differentiable twin of ops/stats.speed_profile_correlation (without the
+    metric's percentile clip, which is not usefully differentiable). ``eps``
+    floors Δt so pause segments don't explode the gradient."""
+
+    def speeds(g: jnp.ndarray) -> jnp.ndarray:
+        d = jnp.diff(g[:, :, :2], axis=1)
+        seg = jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-12)
+        dt = jnp.maximum(jnp.diff(g[:, :, 2], axis=1), eps)
+        return seg / dt
+
+    sr, sf = speeds(real), speeds(fake)
+    srm = sr - sr.mean(axis=1, keepdims=True)
+    sfm = sf - sf.mean(axis=1, keepdims=True)
+    num = (srm * sfm).sum(axis=1)
+    den = jnp.sqrt((srm * srm).sum(axis=1) * (sfm * sfm).sum(axis=1) + 1e-8)
+    return (1.0 - num / den).mean()
+
+
 # --- Supervised contrastive (reference src/contrastive/model.py:124-189) ----
 
 

@@ -39,6 +39,8 @@ from ..losses import (
     kl_divergence_loss,
     latent_encoding_loss,
     reconstruction_loss,
+    speed_profile_loss,
+    time_delta_loss,
     wgan_critic_loss,
     wgan_generator_loss,
 )
@@ -225,6 +227,12 @@ def gan_train_step(
             + training_config.lambda_rec * c2_rec
             + training_config.lambda_kld * c2_kld
         )
+        # Timing-dynamics auxiliaries (λ's are static floats, so disabled
+        # terms are not even traced).
+        if training_config.lambda_dt:
+            c2_total = c2_total + training_config.lambda_dt * time_delta_loss(real, fake2)
+        if training_config.lambda_speed:
+            c2_total = c2_total + training_config.lambda_speed * speed_profile_loss(real, fake2)
 
         aux = {
             "cycle1_total": c1_total,
