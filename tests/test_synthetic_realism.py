@@ -80,6 +80,51 @@ def test_tempo_not_min_jerk_s_curve(kb):
     assert np.mean(devs) > 0.01
 
 
+class TestRealBands:
+    """The synthetic corpus must land inside the REAL corpus's published
+    per-sentence bands (dataset/stats-sentences.tsv — the aggregates survive
+    even though the raw logs are a stripped blob). This is the quantitative
+    synthetic-vs-real validation: unit-exact statistics must have their
+    synthetic median inside the real [p10, p90]; the event-rate-renormalized
+    DTW statistic gets a loose factor band (see data/realism.py docstring
+    for why it cannot be exact)."""
+
+    @pytest.fixture(scope="class")
+    def comparison(self, tmp_path_factory):
+        from wordgesture_gan_tpu.data.realism import (
+            compare_to_real, synthetic_sentence_stats)
+        from wordgesture_gan_tpu.data.synthetic import write_synthetic_swipelogs_zip
+
+        zp = str(tmp_path_factory.mktemp("realism") / "syn.zip")
+        write_synthetic_swipelogs_zip(
+            zp, n_users=40, seed=7,
+            wordfreq_path="dataset/wordfreq.txt",
+            n_sentences=10, words_per_sentence=6)
+        syn = synthetic_sentence_stats(zp)
+        return {r.stat: r for r in compare_to_real(syn)}
+
+    def test_all_stats_computed(self, comparison):
+        assert set(comparison) == {"time_ms", "length_w", "interval_ms",
+                                   "wpm_swipe", "dtw_w"}
+
+    @pytest.mark.parametrize("stat", ["time_ms", "length_w", "interval_ms",
+                                      "wpm_swipe"])
+    def test_exact_stat_inside_real_band(self, comparison, stat):
+        r = comparison[stat]
+        assert r.real_p10 <= r.syn_median <= r.real_p90, (
+            f"{stat}: synthetic median {r.syn_median:.3f} outside real "
+            f"[{r.real_p10:.3f}, {r.real_p90:.3f}]")
+
+    def test_dtw_within_loose_factor_of_real(self, comparison):
+        """Approximate metric (event-rate renormalization is only good to
+        ~2x): require the synthetic per-step DTW-to-prototype within 10x of
+        the real median. Current measured gap: synthetic swipers are ~5x
+        MORE accurate than real ones (0.015 vs 0.077 widths/step) — a known,
+        documented direction for future corpus tuning, not a regression."""
+        r = comparison["dtw_w"]
+        assert r.real_median / 10.0 <= r.syn_median <= r.real_median * 10.0
+
+
 def test_malformed_rows_exist_and_parser_survives(kb):
     words = load_word_list(None)[:30]
     rng = np.random.default_rng(3)

@@ -54,7 +54,11 @@ def resolve_dataset_zip(args: argparse.Namespace) -> str:
     syn_path = path.parent / f"synthetic_swipelogs_{args.synthetic_users}.zip"
     if not syn_path.exists():
         log(f"Generating synthetic swipelogs ({args.synthetic_users} users) at {syn_path}")
-        wordfreq = Path("/root/reference/dataset/wordfreq.txt")
+        # Prefer the repo's own mirrored copy (dataset/README.md) so the
+        # framework is standalone; fall back to the reference mount.
+        wordfreq = Path(__file__).resolve().parent.parent / "dataset" / "wordfreq.txt"
+        if not wordfreq.exists():
+            wordfreq = Path("/root/reference/dataset/wordfreq.txt")
         write_synthetic_swipelogs_zip(
             str(syn_path), n_users=args.synthetic_users, seed=7,
             wordfreq_path=str(wordfreq) if wordfreq.exists() else None,

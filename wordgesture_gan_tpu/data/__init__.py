@@ -21,4 +21,9 @@ from .preprocess import (
     infer_key_positions,
     normalize_gesture,
 )
+from .realism import (
+    compare_to_real,
+    load_real_sentence_stats,
+    synthetic_sentence_stats,
+)
 from .synthetic import write_synthetic_swipelogs_zip

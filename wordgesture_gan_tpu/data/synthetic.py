@@ -333,7 +333,13 @@ def generate_log_content(
                     f"s{sent_idx} {ts} {keyb_w:.0f} {keyb_h:.0f} {event} "
                     f"{x:.2f} {y:.2f} 10.0 10.0 0.0 {word} {is_err}"
                 )
-            clock += trace[-1, 2] + float(rng.uniform(150, 600))
+            # Inter-word interval: log-uniform over 400-2400 ms (median
+            # ≈ 980 ms), matching the real corpus's per-sentence
+            # good_interval_time band (p10 479 / median 1006 / p90 1858 ms,
+            # dataset/stats-sentences.tsv; validated by data/realism.py).
+            # Single uniform draw — same RNG-stream footprint as before, so
+            # trace content is unchanged by this retune.
+            clock += trace[-1, 2] + float(400.0 * 6.0 ** rng.uniform(0.0, 1.0))
 
     return "\n".join(lines)
 
