@@ -125,6 +125,18 @@ class TestRealBands:
         assert r.real_median / 10.0 <= r.syn_median <= r.real_median * 10.0
 
 
+def test_sloppiness_scale_default_is_byte_identical(kb):
+    """sloppiness_scale=1.0 must not perturb the RNG stream or the output."""
+    words = load_word_list(None)[:20]
+    a = generate_log_content(kb, words, np.random.default_rng(5), n_sentences=4)
+    b = generate_log_content(kb, words, np.random.default_rng(5), n_sentences=4,
+                             sloppiness_scale=1.0)
+    assert a == b
+    c = generate_log_content(kb, words, np.random.default_rng(5), n_sentences=4,
+                             sloppiness_scale=3.0)
+    assert c != a
+
+
 def test_malformed_rows_exist_and_parser_survives(kb):
     words = load_word_list(None)[:30]
     rng = np.random.default_rng(3)

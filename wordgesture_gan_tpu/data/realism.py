@@ -375,11 +375,18 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                     help="users to generate / scan (default 200)")
     ap.add_argument("--no-dtw", action="store_true",
                     help="skip the (slow, approximate) DTW statistic")
+    ap.add_argument("--sloppiness-scale", type=float, default=1.0,
+                    help="aim-noise/tremor multiplier for a freshly generated "
+                         "corpus (explore closing the measured ~5x accuracy "
+                         "gap; forces generation to a scale-suffixed zip)")
     args = ap.parse_args(argv)
 
     zip_path = args.zip
     if zip_path is None:
-        zip_path = str(_DATASET_DIR / f"synthetic_swipelogs_{args.users}.zip")
+        suffix = ("" if args.sloppiness_scale == 1.0
+                  else f"_slop{args.sloppiness_scale:g}")
+        zip_path = str(_DATASET_DIR /
+                       f"synthetic_swipelogs_{args.users}{suffix}.zip")
         if not Path(zip_path).exists():
             from .synthetic import write_synthetic_swipelogs_zip
             log(f"Generating synthetic swipelogs ({args.users} users) at {zip_path}")
@@ -387,7 +394,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             write_synthetic_swipelogs_zip(
                 zip_path, n_users=args.users, seed=7,
                 wordfreq_path=str(wf) if wf.exists() else None,
-                n_sentences=12, words_per_sentence=6)
+                n_sentences=12, words_per_sentence=6,
+                sloppiness_scale=args.sloppiness_scale)
 
     log(f"Scanning {zip_path}")
     syn = synthetic_sentence_stats(zip_path, max_users=args.users,

@@ -283,6 +283,7 @@ def generate_log_content(
     word_probs: Optional[np.ndarray] = None,
     malformed_rate: float = 0.002,
     epoch_clock: bool = True,
+    sloppiness_scale: float = 1.0,
 ) -> str:
     """One user's `.log` file content (header + event rows). All traces share
     one sampled :class:`UserStyle`; a small fraction of rows is malformed
@@ -294,7 +295,13 @@ def generate_log_content(
     reference pipeline's float32-timestamp collapse (preprocess.py:40-47):
     float32 spacing at 1.6e12 is 131072 ms, so every sub-2-minute gesture's
     duration rounds to 0 there. Set False for small session-relative clocks
-    (no collapse; pre-round-3 generator behavior)."""
+    (no collapse; pre-round-3 generator behavior).
+
+    ``sloppiness_scale`` multiplies the sampled user's aim-noise/tremor knob
+    after sampling (so 1.0 — the default — leaves the RNG stream AND output
+    byte-identical). data/realism.py measures synthetic swipers tracking
+    the ideal path ~5x more closely than real ones; raising this closes
+    that accuracy gap for future corpora without retuning anything else."""
     lines = [HEADER]
     clock = float(rng.integers(10_000, 50_000))
     if epoch_clock:
@@ -302,6 +309,9 @@ def generate_log_content(
         # "How We Swipe" logs' touch timestamps.
         clock += 1.577e12 + float(rng.integers(0, 31_536_000_000))
     style = sample_user_style(rng)
+    if sloppiness_scale != 1.0:
+        from dataclasses import replace as _dc_replace
+        style = _dc_replace(style, sloppiness=style.sloppiness * sloppiness_scale)
 
     for sent_idx in range(n_sentences):
         chosen = rng.choice(len(words), size=words_per_sentence, replace=True, p=word_probs)
@@ -353,6 +363,7 @@ def write_synthetic_swipelogs_zip(
     words_per_sentence: int = 5,
     max_vocab: int = 500,
     epoch_clock: bool = True,
+    sloppiness_scale: float = 1.0,
 ) -> str:
     """Write a synthetic ``swipelogs.zip`` with ``n_users`` `.log` members."""
     keyboard = QWERTYKeyboard()
@@ -367,6 +378,7 @@ def write_synthetic_swipelogs_zip(
                 keyboard, words, rng,
                 n_sentences=n_sentences, words_per_sentence=words_per_sentence,
                 word_probs=probs, epoch_clock=epoch_clock,
+                sloppiness_scale=sloppiness_scale,
             )
             zf.writestr(f"user{u:04d}.log", content)
     return out_path
