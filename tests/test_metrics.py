@@ -263,10 +263,16 @@ def test_evaluate_all_metrics_smoke(gesture_sets):
                 "ae_reconstruction_loss", "ae_test_loss"):
         assert key in res and np.isfinite(res[key]), key
 
+    # both FID feature spaces in one eval; 'fid' aliases the configured mode
+    for key in ("fid_paper", "fid_positional"):
+        assert key in res and np.isfinite(res[key]), key
+    assert res["fid"] == res[f"fid_{ecfg.fid_feature_mode}"]
+
     # second call reusing cached real side must agree on real-side stats
     res2 = evaluate_all_metrics(real, fake, train_gestures=real, eval_config=ecfg,
                                 cached_real=cached, verbose=False)
     assert res2["fid"] == pytest.approx(res["fid"], rel=1e-5)
+    assert res2["fid_paper"] == pytest.approx(res["fid_paper"], rel=1e-5)
     assert res2["precision"] == pytest.approx(res["precision"])
 
 

@@ -10,7 +10,12 @@ import numpy as np
 import pytest
 
 from wordgesture_gan_tpu.configs import ModelConfig, TrainingConfig
-from wordgesture_gan_tpu.losses import speed_profile_loss, time_delta_loss
+from wordgesture_gan_tpu.losses import (
+    mode_seeking_loss,
+    speed_profile_loss,
+    time_delta_corr_loss,
+    time_delta_loss,
+)
 from wordgesture_gan_tpu.train import gan_train_step, init_gan_state
 
 
@@ -54,6 +59,60 @@ def test_gradients_finite():
     f0 = f.at[:, 10:14, 2].set(f[:, 10:11, 2])
     grad = jax.grad(lambda x: speed_profile_loss(g, x))(f0)
     assert np.all(np.isfinite(np.asarray(grad)))
+
+
+def test_dt_corr_loss_matches_metric_direction():
+    """time_delta_corr_loss is 1 − the (unclipped) time-delta-correlation
+    metric on valid rows: ~0 for identical Δt patterns, ~2 for anti-phase."""
+    from wordgesture_gan_tpu.ops.stats import time_delta_correlation
+
+    g = _gesture_batch(jax.random.PRNGKey(6))
+    assert float(time_delta_corr_loss(g, g)) == pytest.approx(0.0, abs=1e-5)
+
+    f = _gesture_batch(jax.random.PRNGKey(7))
+    loss = float(time_delta_corr_loss(g, f))
+    metric = float(time_delta_correlation(g, f))
+    assert loss == pytest.approx(1.0 - metric, abs=1e-4)
+    grad = jax.grad(lambda x: time_delta_corr_loss(g, x))(f)
+    assert np.all(np.isfinite(np.asarray(grad)))
+
+
+def test_mode_seeking_loss_prefers_diversity():
+    """Collapsed outputs (identical fakes for distinct z) cost ~1/eps; diverse
+    outputs cost little; no gradient flows into the latent inputs."""
+    key = jax.random.PRNGKey(8)
+    kz1, kz2, kf = jax.random.split(key, 3)
+    z1 = jax.random.normal(kz1, (4, 8))
+    z2 = jax.random.normal(kz2, (4, 8))
+    fake = _gesture_batch(kf)
+
+    collapsed = float(mode_seeking_loss(fake, fake, z1, z2))
+    diverse = float(mode_seeking_loss(fake, _gesture_batch(jax.random.PRNGKey(9)), z1, z2))
+    assert collapsed > 100.0 * diverse
+
+    # stop_gradient on the latent distance: z grads must be exactly zero.
+    gz = jax.grad(lambda z: mode_seeking_loss(fake, fake + 0.1, z, z2))(z1)
+    assert np.all(np.asarray(gz) == 0.0)
+    gf = jax.grad(lambda f: mode_seeking_loss(f, fake + 0.1, z1, z2))(fake)
+    assert np.all(np.isfinite(np.asarray(gf)))
+
+
+def test_step_accepts_ms_and_dtc_lambdas():
+    mcfg = ModelConfig(seq_length=32, gen_hidden_dim=8, gen_num_layers=2,
+                       latent_dim=8, enc_hidden_dims=(24, 16),
+                       disc_hidden_dims=(24, 16), time_head="monotone")
+    tcfg = TrainingConfig(batch_size=4, n_critic=1, lambda_ms=1.0, lambda_dtc=2.0)
+    state = init_gan_state(jax.random.PRNGKey(0), mcfg, tcfg)
+    batch = {"gesture": _gesture_batch(jax.random.PRNGKey(10), n=4, L=32),
+             "prototype": _gesture_batch(jax.random.PRNGKey(11), n=4, L=32)}
+    new_state, metrics = jax.jit(
+        lambda s, b: gan_train_step(s, b, jnp.float32(2e-4), mcfg, tcfg)
+    )(state, batch)
+    assert np.isfinite(float(metrics["cycle1_total"]))
+    assert np.isfinite(float(metrics["cycle2_total"]))
+    leaf0 = jax.tree_util.tree_leaves(state["g"]["params"])[0]
+    leaf1 = jax.tree_util.tree_leaves(new_state["g"]["params"])[0]
+    assert not np.allclose(np.asarray(leaf0), np.asarray(leaf1))
 
 
 def test_step_accepts_timing_lambdas():

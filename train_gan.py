@@ -53,6 +53,12 @@ def main() -> None:
     parser.add_argument("--lambda-speed", type=float, default=None,
                         help="weight of the cycle-2 speed-profile correlation "
                              "loss (losses.speed_profile_loss; default 0 = off)")
+    parser.add_argument("--lambda-dtc", type=float, default=None,
+                        help="weight of the cycle-2 Δt-pattern Pearson loss "
+                             "(losses.time_delta_corr_loss; default 0 = off)")
+    parser.add_argument("--lambda-ms", type=float, default=None,
+                        help="MSGAN mode-seeking weight on a second prior draw "
+                             "(losses.mode_seeking_loss; default 0 = off)")
     parser.add_argument("--gen-hidden", type=int, default=None,
                         help="override BiLSTM generator hidden dim (default 48)")
     parser.add_argument("--wandb", action="store_true", help="log to wandb")
@@ -94,7 +100,9 @@ def main() -> None:
         **{k: v for k, v in (("lambda_rec", args.lambda_rec),
                              ("lambda_kld", args.lambda_kld),
                              ("lambda_dt", args.lambda_dt),
-                             ("lambda_speed", args.lambda_speed)) if v is not None})
+                             ("lambda_speed", args.lambda_speed),
+                             ("lambda_dtc", args.lambda_dtc),
+                             ("lambda_ms", args.lambda_ms)) if v is not None})
     runtime_config = RuntimeConfig(data_axis_size=args.data_axis_size,
                                    precision=args.precision)
 

@@ -116,6 +116,19 @@ class TrainingConfig:
     lambda_dt: float = 0.0
     lambda_speed: float = 0.0
 
+    # Δt-pattern Pearson loss (losses.time_delta_corr_loss) — the
+    # differentiable twin of the time-delta-correlation eval metric; where
+    # lambda_dt penalizes increment magnitudes, this one supervises the
+    # increment *shape* the metric actually measures. 0 = off.
+    lambda_dtc: float = 0.0
+
+    # MSGAN mode-seeking regularizer (losses.mode_seeking_loss) on a second
+    # prior draw in cycle 1: maximizes output distance per unit latent
+    # distance, attacking mode collapse (the precision≫recall signature).
+    # Costs one extra differentiated generator forward per step when on.
+    # 0 = off (reference parity).
+    lambda_ms: float = 0.0
+
     # Dataset balancing / split
     max_samples_per_word: int = 5
     train_ratio: float = 0.8

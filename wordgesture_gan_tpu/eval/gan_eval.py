@@ -127,9 +127,16 @@ def print_results_table(results: Dict, model_name: str, paper_values: Dict,
     log("-" * 75)
     log(f'{"AE Reconstruction (L1)":<30} {results["ae_reconstruction_loss"]:>15.4f} {"0.041":>15} {"lower=better":>12}')
     log(f'{"AE Test Loss (L1)":<30} {results["ae_test_loss"]:>15.4f} {"0.046":>15} {"lower=better":>12}')
-    fid_mode = results.get("fid_feature_mode", "paper")
-    fid_note = "lower=better" if fid_mode == "paper" else "≠paper-space"
-    log(f'{f"FID [{fid_mode}]":<30} {results["fid"]:>15.4f} {paper_values["fid"]:>15} {fid_note:>12}')
+    # Both FID feature spaces: 'paper' is the reference/paper-comparable
+    # number; 'positional' is the framework's shape-aware space (see
+    # EvaluationConfig.fid_feature_mode).
+    if "fid_paper" in results:
+        log(f'{"FID [paper]":<30} {results["fid_paper"]:>15.4f} {paper_values["fid"]:>15} {"lower=better":>12}')
+        log(f'{"FID [positional]":<30} {results["fid_positional"]:>15.4f} {"--":>15} {"shape-aware":>12}')
+    else:
+        fid_mode = results.get("fid_feature_mode", "paper")
+        fid_note = "lower=better" if fid_mode == "paper" else "≠paper-space"
+        log(f'{f"FID [{fid_mode}]":<30} {results["fid"]:>15.4f} {paper_values["fid"]:>15} {fid_note:>12}')
     log("-" * 75)
     log(f'{f"Precision (k={precision_k})":<30} {results["precision"]:>15.3f} {paper_values["precision"]:>15} {"higher=better":>12}')
     log(f'{f"Recall (k={precision_k})":<30} {results["recall"]:>15.3f} {paper_values["recall"]:>15} {"higher=better":>12}')
@@ -155,8 +162,12 @@ def print_comparison_table(gan_results: Dict, minjerk_results: Dict,
     log(f'{"Speed Profile Corr":<30} {gan_results["speed_profile_corr"]:>15.3f} {minjerk_results["speed_profile_corr"]:>15.3f} {"--":>12} {"--":>12}')
     log(f'{"Time Delta Corr":<30} {gan_results["time_delta_corr"]:>15.3f} {minjerk_results["time_delta_corr"]:>15.3f} {"--":>12} {"--":>12}')
     log("-" * 90)
-    fid_mode = gan_results.get("fid_feature_mode", "paper")
-    log(f'{f"FID [{fid_mode}]":<30} {gan_results["fid"]:>15.4f} {minjerk_results["fid"]:>15.4f} {pg["fid"]:>12} {pm["fid"]:>12}')
+    if "fid_paper" in gan_results and "fid_paper" in minjerk_results:
+        log(f'{"FID [paper]":<30} {gan_results["fid_paper"]:>15.4f} {minjerk_results["fid_paper"]:>15.4f} {pg["fid"]:>12} {pm["fid"]:>12}')
+        log(f'{"FID [positional]":<30} {gan_results["fid_positional"]:>15.4f} {minjerk_results["fid_positional"]:>15.4f} {"--":>12} {"--":>12}')
+    else:
+        fid_mode = gan_results.get("fid_feature_mode", "paper")
+        log(f'{f"FID [{fid_mode}]":<30} {gan_results["fid"]:>15.4f} {minjerk_results["fid"]:>15.4f} {pg["fid"]:>12} {pm["fid"]:>12}')
     log(f'{f"Precision (k={precision_k})":<30} {gan_results["precision"]:>15.3f} {minjerk_results["precision"]:>15.3f} {pg["precision"]:>12} {pm["precision"]:>12}')
     log(f'{f"Recall (k={precision_k})":<30} {gan_results["recall"]:>15.3f} {minjerk_results["recall"]:>15.3f} {pg["recall"]:>12} {pm["recall"]:>12}')
     log("=" * 90)

@@ -100,6 +100,38 @@ def speed_profile_loss(real: jnp.ndarray, fake: jnp.ndarray,
     return (1.0 - num / den).mean()
 
 
+def time_delta_corr_loss(real: jnp.ndarray, fake: jnp.ndarray) -> jnp.ndarray:
+    """1 − mean per-pair Pearson correlation of the Δt patterns — the
+    differentiable twin of ops/stats.time_delta_correlation (which is
+    unclipped, so this IS the metric up to the validity filter). The L1
+    twin (time_delta_loss) supervises the Δt *magnitudes*; this one
+    supervises the Δt *shape*, which is what the eval metric measures —
+    a generator can match every increment to 1e-3 absolute and still
+    correlate at 0 if the residual pattern is flat."""
+    dtr = jnp.diff(real[:, :, 2], axis=1)
+    dtf = jnp.diff(fake[:, :, 2], axis=1)
+    rm = dtr - dtr.mean(axis=1, keepdims=True)
+    fm = dtf - dtf.mean(axis=1, keepdims=True)
+    num = (rm * fm).sum(axis=1)
+    den = jnp.sqrt((rm * rm).sum(axis=1) * (fm * fm).sum(axis=1) + 1e-12)
+    return (1.0 - num / den).mean()
+
+
+def mode_seeking_loss(fake_a: jnp.ndarray, fake_b: jnp.ndarray,
+                      z_a: jnp.ndarray, z_b: jnp.ndarray,
+                      eps: float = 1e-5) -> jnp.ndarray:
+    """MSGAN mode-seeking regularizer (Mao et al., CVPR 2019): minimize
+    d(z_a, z_b) / d(G(z_a), G(z_b)) per sample, i.e. demand that distinct
+    latents produce proportionally distinct gestures. Directly attacks the
+    precision-high/recall-low mode-coverage failure: a generator that maps
+    a wide z-ball onto a narrow output manifold pays O(1/eps) here. The
+    latent distances are stop-gradient'd so the pressure lands on the
+    generator's output diversity, not on shrinking the latent geometry."""
+    d_fake = jnp.abs(fake_a - fake_b).mean(axis=(1, 2))
+    d_z = jax.lax.stop_gradient(jnp.abs(z_a - z_b).mean(axis=1))
+    return (d_z / (d_fake + eps)).mean()
+
+
 # --- Supervised contrastive (reference src/contrastive/model.py:124-189) ----
 
 

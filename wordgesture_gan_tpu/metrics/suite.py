@@ -142,7 +142,32 @@ def evaluate_all_metrics(
     # Feature-space provenance travels with the number: 'positional' FIDs are
     # NOT comparable to the reference/paper's ('paper'-mode) values, so every
     # reporting site labels the FID with this (ADVICE r3).
-    results["fid_feature_mode"] = getattr(eval_config, "fid_feature_mode", "paper")
+    mode = getattr(eval_config, "fid_feature_mode", "paper")
+    results["fid_feature_mode"] = mode
+
+    # FID in BOTH feature spaces: the configured mode above plus the other
+    # one, so defaults-run tables can show the paper-space number next to the
+    # paper column (and the shape-aware positional number next to it) without
+    # a second eval invocation. The second AE is one cached train
+    # (load_or_train_fid_autoencoder keys the cache on the full
+    # hyperparameter set, fid_feature_mode included).
+    import dataclasses as _dc
+
+    other_mode = "paper" if mode == "positional" else "positional"
+    if cached_real and "ae_params_alt" in cached_real:
+        ae_params_alt = cached_real["ae_params_alt"]
+        real_features_alt = cached_real["real_features_alt"]
+    else:
+        train_data = train_gestures if train_gestures is not None else real_gestures
+        ae_params_alt, _ = load_or_train_fid_autoencoder(
+            np.asarray(train_data, np.float32), model_config,
+            _dc.replace(eval_config, fid_feature_mode=other_mode),
+            cache_dir=cache_dir, verbose=verbose,
+        )
+        real_features_alt = encode_features(ae_params_alt, real_gestures)
+    fake_features_alt = encode_features(ae_params_alt, fake_gestures)
+    results[f"fid_{mode}"] = results["fid"]
+    results[f"fid_{other_mode}"] = fid_from_features(real_features_alt, fake_features_alt)
 
     # --- k-NN precision / recall (evaluation.py:470-488)
     precision, recall, real_dists, real_radii = knn_precision_recall(
@@ -161,5 +186,7 @@ def evaluate_all_metrics(
         "ae_params": ae_params,
         "real_features": real_features,
         "ae_loss": final_loss,
+        "ae_params_alt": ae_params_alt,
+        "real_features_alt": real_features_alt,
     }
     return results

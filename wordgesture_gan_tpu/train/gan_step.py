@@ -38,8 +38,10 @@ from ..losses import (
     feature_matching_loss,
     kl_divergence_loss,
     latent_encoding_loss,
+    mode_seeking_loss,
     reconstruction_loss,
     speed_profile_loss,
+    time_delta_corr_loss,
     time_delta_loss,
     wgan_critic_loss,
     wgan_generator_loss,
@@ -185,6 +187,8 @@ def gan_train_step(
 
     # ----- joint G+E step (reference utils.py:111-135, trainer.py:84-193) -----
     rng, kz1, ke1, ke2 = jax.random.split(rng, 4)
+    if training_config.lambda_ms:
+        rng, kz_ms = jax.random.split(rng)
     z1_fixed = noise["z1"] if noise is not None else None
     eps_rec = noise["eps_rec"] if noise is not None else None
     eps2 = noise["eps2"] if noise is not None else None
@@ -210,6 +214,14 @@ def gan_train_step(
             + training_config.lambda_feat * c1_feat
             + training_config.lambda_lat * c1_lat
         )
+        # Mode-seeking on a SECOND prior draw against the cycle-1 fake
+        # (MSGAN; static λ, so the extra generator forward only exists in
+        # the program when enabled).
+        if training_config.lambda_ms:
+            z_ms = jax.random.normal(kz_ms, (B, Z))
+            fake_ms = generator_apply(gp, proto, z_ms, model_config)
+            c1_total = c1_total + training_config.lambda_ms * mode_seeking_loss(
+                fake1, fake_ms, z, z_ms)
 
         # Cycle 2: X → z → X'
         z_enc, mu, log_var = encoder_apply(ep, real, ke2, model_config, eps=eps2)
@@ -233,6 +245,8 @@ def gan_train_step(
             c2_total = c2_total + training_config.lambda_dt * time_delta_loss(real, fake2)
         if training_config.lambda_speed:
             c2_total = c2_total + training_config.lambda_speed * speed_profile_loss(real, fake2)
+        if training_config.lambda_dtc:
+            c2_total = c2_total + training_config.lambda_dtc * time_delta_corr_loss(real, fake2)
 
         aux = {
             "cycle1_total": c1_total,
