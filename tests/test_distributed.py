@@ -82,10 +82,13 @@ def test_chunk_layout_and_padding():
     assert (p[5:] == 0).all()
 
 
-def _run_two_process_workers(mode: str) -> list:
+def _run_two_process_workers(mode: str, extra_env: dict = None,
+                             after_start=None) -> list:
     """Spawn two real processes joined into one distributed runtime over
     localhost (gloo CPU collectives); return their stdouts after asserting
-    both exited 0. See tests/_distributed_worker.py."""
+    both exited 0. ``after_start(procs)`` runs once both are spawned (for
+    mid-run choreography like the preemption drill's targeted SIGTERM).
+    See tests/_distributed_worker.py."""
     import socket
     import subprocess
     import sys
@@ -105,11 +108,19 @@ def _run_two_process_workers(mode: str) -> list:
             JAX_PROCESS_ID=str(pid),
             JAX_PLATFORMS="cpu",
             XLA_FLAGS="--xla_force_host_platform_device_count=2",
+            **(extra_env or {}),
         )
         procs.append(subprocess.Popen(
             [sys.executable, str(worker), mode], env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         ))
+    if after_start is not None:
+        try:
+            after_start(procs)
+        except Exception:
+            for q in procs:
+                q.kill()
+            raise
     outs = []
     for p in procs:
         try:
@@ -133,7 +144,47 @@ def test_two_process_execution():
 
 
 @pytest.mark.slow
-def test_two_process_gan_training():
+def test_two_process_preemption_drill(tmp_path):
+    """Failure drill (VERDICT r4 #8): SIGTERM exactly ONE of two training
+    processes mid-run. PreemptionGuard.agreed()'s allgather must stop BOTH
+    processes on the same epoch with a checkpoint written (not leave the
+    unsignalled process hanging in the next epoch's collectives), and a
+    rerun of the same command resumes and completes."""
+    import re
+    import signal
+    import time
+
+    marker = tmp_path / "phase1_underway"
+
+    def sigterm_one_worker(procs):
+        deadline = time.time() + 300
+        while not marker.exists():
+            for p in procs:
+                assert p.poll() is None, "worker died before the drill"
+            assert time.time() < deadline, "drill marker never appeared"
+            time.sleep(0.1)
+        # Signal ONLY the non-main process: the stop must travel to process 0
+        # through the agreed() collective, not through a local flag.
+        procs[1].send_signal(signal.SIGTERM)
+
+    outs = _run_two_process_workers(
+        "preempt", extra_env={"WGG_TEST_CKPT": str(tmp_path)},
+        after_start=sigterm_one_worker,
+    )
+
+    phase1, phase2 = {}, {}
+    for out in outs:
+        for m in re.finditer(r"PHASE1 pid=(\d+) epochs=(\d+)", out):
+            phase1[int(m.group(1))] = int(m.group(2))
+        for m in re.finditer(r"PHASE2 pid=(\d+) epochs=(\d+)", out):
+            phase2[int(m.group(1))] = int(m.group(2))
+
+    assert set(phase1) == {0, 1}, f"missing PHASE1 lines: {outs}"
+    # Both processes left the loop on the SAME epoch, mid-run.
+    assert phase1[0] == phase1[1], f"processes stopped on different epochs: {phase1}"
+    assert 0 < phase1[0] < 500
+    # The preemption checkpoint exists and the resume ran exactly the rest.
+    assert phase2 == {0: 3, 1: 3}, f"resume did not complete: {phase2}"
     """The PRODUCTION train_gan loop across two processes (VERDICT r3 #4):
     global_replicate / global_shard feed each process's local block via
     jax.make_array_from_process_local_data, and the final losses + generator

@@ -58,27 +58,15 @@ def _critic_update(disc, real, fake, tx, lr, model_config, fused: bool = False):
     spectral-norm advance; the default reproduces the reference's two
     sequential forwards exactly (TrainingConfig docstring).
 
-    An experimental fused Pallas path (ops/critic_fused.py) computes the
-    temporal critic's whole loss-and-gradient in one program per scored
-    half — the update needs no input gradients and the WGAN cotangent is
-    a constant, so the kernel emits weight grads directly. It is OPT-IN
-    (WGG_ENABLE_PALLAS_CRITIC=1): measured slower than this XLA autodiff
-    path at B=512 on v5e (see fused_critic_available), which therefore
-    remains production.
+    XLA autodiff is the production path. A fused Pallas kernel emitting
+    the temporal critic's weight gradients directly (possible because the
+    update needs no input gradients and the WGAN cotangent is constant)
+    was built, validated, measured SLOWER than this path at B=512 on v5e,
+    and retired — see ARCHITECTURE.md "Negative result: fused Pallas
+    critic-update kernel" (kernel at git 11040c7:ops/critic_fused.py).
     """
-    from ..models.gan import _POOL_BINS, _TCONV_SPEC, _compute_dtype
-    from ..ops.critic_fused import critic_temporal_loss_and_grads, fused_critic_available
-
     fake = jax.lax.stop_gradient(fake)
     nb = real.shape[0]
-
-    if (model_config.use_temporal_disc and real.shape[1] % _POOL_BINS == 0
-            and fused_critic_available()):
-        loss, grads, new_sn = critic_temporal_loss_and_grads(
-            disc["params"], disc["sn"], real, fake, _TCONV_SPEC, _POOL_BINS,
-            fused, _compute_dtype(model_config))
-        new_params, new_opt = apply_update(disc["params"], grads, disc["opt"], tx, lr)
-        return {"params": new_params, "opt": new_opt, "sn": new_sn}, loss
 
     def loss_fn(params, sn):
         if fused:
