@@ -11,6 +11,10 @@ import pytest
 
 from wordgesture_gan_tpu.configs import ModelConfig, TrainingConfig
 from wordgesture_gan_tpu.losses import (
+    diversity_hinge_loss,
+    masked_speed_profile_loss,
+    masked_time_delta_corr_loss,
+    masked_time_delta_loss,
     mode_seeking_loss,
     speed_profile_loss,
     time_delta_corr_loss,
@@ -95,6 +99,131 @@ def test_mode_seeking_loss_prefers_diversity():
     assert np.all(np.asarray(gz) == 0.0)
     gf = jax.grad(lambda f: mode_seeking_loss(f, fake + 0.1, z1, z2))(fake)
     assert np.all(np.isfinite(np.asarray(gf)))
+
+
+def test_masked_losses_match_fixed_on_all_valid():
+    """On an all-ones mask the masked twins equal the fixed-length losses
+    (time_delta_loss's (L-1)·mean IS the per-row sum the masked twin keeps)."""
+    g = _gesture_batch(jax.random.PRNGKey(20))
+    f = _gesture_batch(jax.random.PRNGKey(21))
+    mask = jnp.ones(g.shape[:2])
+    assert float(masked_time_delta_loss(g, f, mask)) == pytest.approx(
+        float(time_delta_loss(g, f)), rel=1e-5)
+    assert float(masked_speed_profile_loss(g, f, mask)) == pytest.approx(
+        float(speed_profile_loss(g, f)), rel=1e-4)
+    assert float(masked_time_delta_corr_loss(g, f, mask)) == pytest.approx(
+        float(time_delta_corr_loss(g, f)), rel=1e-4)
+
+
+def test_masked_losses_ignore_padding():
+    """Corrupting the padded tail must not change the loss, and gradients
+    w.r.t. padded positions must be exactly zero."""
+    g = _gesture_batch(jax.random.PRNGKey(22))
+    f = _gesture_batch(jax.random.PRNGKey(23))
+    L = g.shape[1]
+    valid = L - 10
+    mask = jnp.concatenate(
+        [jnp.ones((g.shape[0], valid)), jnp.zeros((g.shape[0], 10))], axis=1)
+    junk = f.at[:, valid:, :].set(99.0)
+
+    for fn in (masked_time_delta_loss, masked_speed_profile_loss,
+               masked_time_delta_corr_loss):
+        clean = float(fn(g, f, mask))
+        assert float(fn(g, junk, mask)) == pytest.approx(clean, rel=1e-5), fn
+        grad = np.asarray(jax.grad(lambda x: fn(g, x, mask))(junk))
+        assert np.all(np.isfinite(grad))
+        # Padded-tail gradient dead beyond the boundary segment.
+        assert np.all(grad[:, valid:, :] == 0.0), fn
+
+
+def test_masked_step_accepts_timing_lambdas():
+    from wordgesture_gan_tpu.train.masked_step import gan_train_step_masked
+
+    mcfg = ModelConfig(seq_length=32, latent_dim=8, enc_hidden_dims=(24, 16),
+                       disc_hidden_dims=(24, 16), generator_type="transformer",
+                       tfm_d_model=16, tfm_num_heads=2, tfm_num_layers=2)
+    tcfg = TrainingConfig(batch_size=4, n_critic=1,
+                          lambda_dt=2.0, lambda_speed=1.0, lambda_dtc=1.0)
+    state = init_gan_state(jax.random.PRNGKey(0), mcfg, tcfg)
+    mask = jnp.concatenate([jnp.ones((4, 24)), jnp.zeros((4, 8))], axis=1)
+    batch = {"gesture": _gesture_batch(jax.random.PRNGKey(24), n=4, L=32),
+             "prototype": _gesture_batch(jax.random.PRNGKey(25), n=4, L=32),
+             "mask": mask}
+    new_state, metrics = jax.jit(
+        lambda s, b: gan_train_step_masked(s, b, jnp.float32(2e-4), mcfg, tcfg)
+    )(state, batch)
+    assert np.isfinite(float(metrics["cycle2_total"]))
+    leaf0 = jax.tree_util.tree_leaves(state["g"]["params"])[0]
+    leaf1 = jax.tree_util.tree_leaves(new_state["g"]["params"])[0]
+    assert not np.allclose(np.asarray(leaf0), np.asarray(leaf1))
+
+
+def test_diversity_hinge_loss_shuts_off_past_margin():
+    """Pairs closer than the margin pay (scale-free in the margin); pairs at
+    or beyond it pay exactly zero — no incentive to scribble past the data's
+    own conditional diversity, unlike the MSGAN ratio."""
+    fake = _gesture_batch(jax.random.PRNGKey(12))
+    margin = 0.2
+
+    collapsed = float(diversity_hinge_loss(fake, fake, margin))
+    assert collapsed == pytest.approx(1.0, abs=1e-6)   # relu(m-0)/m = 1
+
+    # A pair separated by exactly the margin (uniform offset) costs zero…
+    apart = fake + margin
+    assert float(diversity_hinge_loss(fake, apart, margin)) == pytest.approx(0.0, abs=1e-6)
+    # …and so does any wider separation (the hinge is off, gradient dead).
+    far = fake + 10 * margin
+    assert float(diversity_hinge_loss(fake, far, margin)) == 0.0
+    g = jax.grad(lambda f: diversity_hinge_loss(f, far, margin))(fake)
+    assert np.all(np.asarray(g) == 0.0)
+
+    # Inside the margin the gradient pushes the pair APART and is finite.
+    near = fake + 0.1 * margin
+    g = jax.grad(lambda f: diversity_hinge_loss(f, near, margin))(fake)
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert float(jnp.abs(g).sum()) > 0.0
+
+
+def test_within_word_diversity_measures_spread():
+    """The data-driven margin: mean within-word L1 over sampled pairs."""
+    from wordgesture_gan_tpu.data.pipeline import GestureArrays, within_word_diversity
+
+    rng = np.random.default_rng(0)
+    base = rng.normal(size=(2, 16, 3)).astype(np.float32)
+    # Two words, three gestures each, word-0 spread 0, word-1 spread > 0.
+    gestures = np.stack([base[0], base[0], base[0],
+                         base[1], base[1] + 0.5, base[1] - 0.5]).astype(np.float32)
+    protos = np.zeros_like(gestures)
+    ds = GestureArrays(gestures, protos, ["aa", "aa", "aa", "bb", "bb", "bb"])
+    m = within_word_diversity(ds, max_pairs_per_word=3, seed=0)
+    assert 0.0 < m < 1.0   # word-0 contributes zeros, word-1 ~0.5-ish L1s
+
+    # Singleton-only corpora cannot define a margin.
+    solo = GestureArrays(gestures[:2], protos[:2], ["aa", "bb"])
+    with pytest.raises(ValueError):
+        within_word_diversity(solo)
+
+
+def test_step_accepts_div_lambda():
+    mcfg = ModelConfig(seq_length=32, gen_hidden_dim=8, gen_num_layers=2,
+                       latent_dim=8, enc_hidden_dims=(24, 16),
+                       disc_hidden_dims=(24, 16), time_head="monotone")
+    tcfg = TrainingConfig(batch_size=4, n_critic=1, lambda_div=1.0, div_margin=0.3)
+    state = init_gan_state(jax.random.PRNGKey(0), mcfg, tcfg)
+    batch = {"gesture": _gesture_batch(jax.random.PRNGKey(10), n=4, L=32),
+             "prototype": _gesture_batch(jax.random.PRNGKey(11), n=4, L=32)}
+    new_state, metrics = jax.jit(
+        lambda s, b: gan_train_step(s, b, jnp.float32(2e-4), mcfg, tcfg)
+    )(state, batch)
+    assert np.isfinite(float(metrics["cycle1_total"]))
+    leaf0 = jax.tree_util.tree_leaves(state["g"]["params"])[0]
+    leaf1 = jax.tree_util.tree_leaves(new_state["g"]["params"])[0]
+    assert not np.allclose(np.asarray(leaf0), np.asarray(leaf1))
+
+    # Unmeasured margin must be a loud error, not a silent miscompile.
+    bad = TrainingConfig(batch_size=4, n_critic=1, lambda_div=1.0)
+    with pytest.raises(ValueError, match="div_margin"):
+        gan_train_step(state, batch, jnp.float32(2e-4), mcfg, bad)
 
 
 def test_step_accepts_ms_and_dtc_lambdas():

@@ -59,6 +59,12 @@ def main() -> None:
     parser.add_argument("--lambda-ms", type=float, default=None,
                         help="MSGAN mode-seeking weight on a second prior draw "
                              "(losses.mode_seeking_loss; default 0 = off)")
+    parser.add_argument("--lambda-div", type=float, default=None,
+                        help="hinged conditional-diversity weight "
+                             "(losses.diversity_hinge_loss; default 0 = off)")
+    parser.add_argument("--div-margin", type=float, default=None,
+                        help="hinge margin for --lambda-div; default measures "
+                             "the corpus's mean within-word L1 distance")
     parser.add_argument("--gen-hidden", type=int, default=None,
                         help="override BiLSTM generator hidden dim (default 48)")
     parser.add_argument("--wandb", action="store_true", help="log to wandb")
@@ -102,7 +108,9 @@ def main() -> None:
                              ("lambda_dt", args.lambda_dt),
                              ("lambda_speed", args.lambda_speed),
                              ("lambda_dtc", args.lambda_dtc),
-                             ("lambda_ms", args.lambda_ms)) if v is not None})
+                             ("lambda_ms", args.lambda_ms),
+                             ("lambda_div", args.lambda_div),
+                             ("div_margin", args.div_margin)) if v is not None})
     runtime_config = RuntimeConfig(data_axis_size=args.data_axis_size,
                                    precision=args.precision)
 

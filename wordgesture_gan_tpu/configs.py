@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass
-from typing import Tuple
+from typing import Optional, Tuple
 
 
 @dataclass(frozen=True)
@@ -128,6 +128,18 @@ class TrainingConfig:
     # Costs one extra differentiated generator forward per step when on.
     # 0 = off (reference parity).
     lambda_ms: float = 0.0
+
+    # Hinged conditional-diversity loss (losses.diversity_hinge_loss) on the
+    # same second prior draw: penalize the pair of generations only while
+    # their mean-L1 distance is below div_margin, then shut off. The bounded
+    # replacement for lambda_ms (whose ratio objective rewards unbounded
+    # spread — measured precision 0.981→0.172 at λ_ms=1, runs/r5_eval_ms1.log).
+    # div_margin=None means "measure it from the data": the training loop
+    # substitutes the corpus's mean within-word L1 distance
+    # (data.pipeline.within_word_diversity) before compiling the step.
+    # 0 = off (reference parity).
+    lambda_div: float = 0.0
+    div_margin: Optional[float] = None
 
     # Dataset balancing / split
     max_samples_per_word: int = 5

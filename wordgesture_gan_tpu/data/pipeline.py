@@ -206,6 +206,37 @@ class GestureArrays:
 GestureDataset = GestureArrays
 
 
+def within_word_diversity(
+    ds: GestureArrays,
+    max_pairs_per_word: int = 4,
+    seed: int = 0,
+) -> float:
+    """Mean L1 distance between two real gestures of the SAME word — the
+    corpus's conditional diversity, used as the data-driven margin for
+    ``losses.diversity_hinge_loss``. Host-side numpy, runs once before the
+    training loop is jitted (O(words × max_pairs) distance evaluations).
+    """
+    rng = np.random.default_rng(seed)
+    order = np.argsort(ds.word_ids, kind="stable")
+    ids = ds.word_ids[order]
+    boundaries = np.flatnonzero(np.diff(ids)) + 1
+    groups = np.split(order, boundaries)
+    dists: List[float] = []
+    for idx in groups:
+        n = len(idx)
+        if n < 2:
+            continue
+        for _ in range(min(max_pairs_per_word, n * (n - 1) // 2)):
+            i, j = rng.choice(n, size=2, replace=False)
+            dists.append(float(np.abs(
+                ds.gestures[idx[i]] - ds.gestures[idx[j]]).mean()))
+    if not dists:
+        raise ValueError(
+            "within_word_diversity: no word has >=2 gestures; pass an "
+            "explicit div_margin instead")
+    return float(np.mean(dists))
+
+
 def create_train_test_split(
     gestures_by_word: Dict[str, List[np.ndarray]],
     prototypes_by_word: Dict[str, np.ndarray],

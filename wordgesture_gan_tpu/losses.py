@@ -132,6 +132,81 @@ def mode_seeking_loss(fake_a: jnp.ndarray, fake_b: jnp.ndarray,
     return (d_z / (d_fake + eps)).mean()
 
 
+# Masked twins for the variable-length path (train/masked_step.py): same
+# semantics restricted to segments whose BOTH endpoints are valid. A
+# "segment" i is (point i, point i+1), so the segment weight is
+# mask[:, 1:] * mask[:, :-1]; padded positions contribute exactly zero to
+# every sum, keeping the fixed-length and masked losses numerically equal
+# on an all-valid batch.
+
+
+def _segment_weights(mask: jnp.ndarray) -> jnp.ndarray:
+    return mask[:, 1:] * mask[:, :-1]
+
+
+def _masked_pearson(a: jnp.ndarray, b: jnp.ndarray, w: jnp.ndarray,
+                    eps: float) -> jnp.ndarray:
+    """Per-row Pearson correlation over weighted (0/1) segments."""
+    n = jnp.maximum(w.sum(axis=1, keepdims=True), 1.0)
+    am = (a - (a * w).sum(axis=1, keepdims=True) / n) * w
+    bm = (b - (b * w).sum(axis=1, keepdims=True) / n) * w
+    num = (am * bm).sum(axis=1)
+    den = jnp.sqrt((am * am).sum(axis=1) * (bm * bm).sum(axis=1) + eps)
+    return num / den
+
+
+def masked_time_delta_loss(real: jnp.ndarray, fake: jnp.ndarray,
+                           mask: jnp.ndarray) -> jnp.ndarray:
+    """time_delta_loss over valid segments. The fixed version's (L-1)·mean
+    equals the per-row SUM of |Δt_fake − Δt_real|; the masked version keeps
+    that sum semantics, so both cost O(1) for a real warp mismatch."""
+    w = _segment_weights(mask)
+    d = jnp.abs(jnp.diff(fake[:, :, 2], axis=1) - jnp.diff(real[:, :, 2], axis=1))
+    return (w * d).sum(axis=1).mean()
+
+
+def masked_speed_profile_loss(real: jnp.ndarray, fake: jnp.ndarray,
+                              mask: jnp.ndarray, eps: float = 1e-4) -> jnp.ndarray:
+    """speed_profile_loss over valid segments (1 − masked Pearson of |v|)."""
+
+    def speeds(g: jnp.ndarray) -> jnp.ndarray:
+        d = jnp.diff(g[:, :, :2], axis=1)
+        seg = jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-12)
+        dt = jnp.maximum(jnp.diff(g[:, :, 2], axis=1), eps)
+        return seg / dt
+
+    w = _segment_weights(mask)
+    corr = _masked_pearson(speeds(real), speeds(fake), w, 1e-8)
+    return (1.0 - corr).mean()
+
+
+def masked_time_delta_corr_loss(real: jnp.ndarray, fake: jnp.ndarray,
+                                mask: jnp.ndarray) -> jnp.ndarray:
+    """time_delta_corr_loss over valid segments (1 − masked Pearson of Δt)."""
+    w = _segment_weights(mask)
+    dtr = jnp.diff(real[:, :, 2], axis=1)
+    dtf = jnp.diff(fake[:, :, 2], axis=1)
+    return (1.0 - _masked_pearson(dtr, dtf, w, 1e-12)).mean()
+
+
+def diversity_hinge_loss(fake_a: jnp.ndarray, fake_b: jnp.ndarray,
+                         margin: float) -> jnp.ndarray:
+    """Hinged conditional-diversity loss: penalize a pair of generations
+    from two independent prior draws only while their mean-L1 distance is
+    BELOW ``margin``, scale-free in the margin.
+
+    This is the bounded replacement for ``mode_seeking_loss``: the MSGAN
+    ratio d(z)/d(G(z)) keeps paying the generator for unbounded output
+    spread, which measured as precision 0.981→0.172 at λ_ms=1 on this
+    model (runs/r5_eval_ms1.log). The hinge instead demands the generator's
+    within-word spread reach the corpus's measured within-word spread
+    (``data.pipeline.within_word_diversity``) and then SHUTS OFF — no
+    incentive to scribble past the real data's own conditional diversity.
+    """
+    d = jnp.abs(fake_a - fake_b).mean(axis=(1, 2))
+    return (jax.nn.relu(margin - d) / margin).mean()
+
+
 # --- Supervised contrastive (reference src/contrastive/model.py:124-189) ----
 
 

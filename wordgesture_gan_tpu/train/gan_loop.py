@@ -9,6 +9,7 @@ it runs directly on the TPU host. The per-epoch body is one jitted
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import time
 from dataclasses import dataclass, field
@@ -26,7 +27,7 @@ from ..configs import (
     RuntimeConfig,
     TrainingConfig,
 )
-from ..data.pipeline import GestureArrays
+from ..data.pipeline import GestureArrays, within_word_diversity
 from ..models.gan import generator_apply
 from ..parallel.mesh import (
     batch_sharding,
@@ -78,6 +79,15 @@ def train_gan(
     is_main = jax.process_index() == 0
     say = log if (verbose and is_main) else (lambda *_: None)
     num_epochs = num_epochs or training_config.num_epochs
+
+    if training_config.lambda_div and training_config.div_margin is None:
+        # Data-driven hinge margin: the corpus's own within-word spread.
+        # Must happen before the step is compiled — div_margin is a static
+        # constant inside the jitted program.
+        margin = within_word_diversity(train_ds)
+        training_config = dataclasses.replace(training_config, div_margin=margin)
+        say(f"Diversity hinge margin measured from data: {margin:.4f} "
+            f"(mean within-word L1)")
 
     mesh = create_mesh(runtime_config.data_axis_size, runtime_config.mesh_axis_names)
     n_shards = mesh.devices.size

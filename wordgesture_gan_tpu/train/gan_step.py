@@ -38,6 +38,7 @@ from ..losses import (
     feature_matching_loss,
     kl_divergence_loss,
     latent_encoding_loss,
+    diversity_hinge_loss,
     mode_seeking_loss,
     reconstruction_loss,
     speed_profile_loss,
@@ -175,7 +176,7 @@ def gan_train_step(
 
     # ----- joint G+E step (reference utils.py:111-135, trainer.py:84-193) -----
     rng, kz1, ke1, ke2 = jax.random.split(rng, 4)
-    if training_config.lambda_ms:
+    if training_config.lambda_ms or training_config.lambda_div:
         rng, kz_ms = jax.random.split(rng)
     z1_fixed = noise["z1"] if noise is not None else None
     eps_rec = noise["eps_rec"] if noise is not None else None
@@ -202,14 +203,24 @@ def gan_train_step(
             + training_config.lambda_feat * c1_feat
             + training_config.lambda_lat * c1_lat
         )
-        # Mode-seeking on a SECOND prior draw against the cycle-1 fake
-        # (MSGAN; static λ, so the extra generator forward only exists in
-        # the program when enabled).
-        if training_config.lambda_ms:
+        # Diversity terms on a SECOND prior draw against the cycle-1 fake
+        # (static λ's, so the extra generator forward only exists in the
+        # program when one of them is enabled). lambda_ms is the MSGAN
+        # ratio; lambda_div the bounded hinge at the corpus's measured
+        # within-word diversity (losses.diversity_hinge_loss).
+        if training_config.lambda_ms or training_config.lambda_div:
             z_ms = jax.random.normal(kz_ms, (B, Z))
             fake_ms = generator_apply(gp, proto, z_ms, model_config)
-            c1_total = c1_total + training_config.lambda_ms * mode_seeking_loss(
-                fake1, fake_ms, z, z_ms)
+            if training_config.lambda_ms:
+                c1_total = c1_total + training_config.lambda_ms * mode_seeking_loss(
+                    fake1, fake_ms, z, z_ms)
+            if training_config.lambda_div:
+                if training_config.div_margin is None:
+                    raise ValueError(
+                        "lambda_div requires div_margin; the training loop "
+                        "measures it from the data when left as None")
+                c1_total = c1_total + training_config.lambda_div * diversity_hinge_loss(
+                    fake1, fake_ms, training_config.div_margin)
 
         # Cycle 2: X → z → X'
         z_enc, mu, log_var = encoder_apply(ep, real, ke2, model_config, eps=eps2)

@@ -19,6 +19,9 @@ from ..losses import (
     feature_matching_loss,
     kl_divergence_loss,
     latent_encoding_loss,
+    masked_speed_profile_loss,
+    masked_time_delta_corr_loss,
+    masked_time_delta_loss,
     wgan_critic_loss,
     wgan_generator_loss,
 )
@@ -143,6 +146,18 @@ def gan_train_step_masked(
             + training_config.lambda_rec * c2_rec
             + training_config.lambda_kld * kl_divergence_loss(mu, log_var)
         )
+        # Timing-dynamics auxiliaries, masked twins (losses.masked_*) —
+        # same λ knobs as the fixed-length step, restricted to segments
+        # with both endpoints valid.
+        if training_config.lambda_dt:
+            c2_total = c2_total + training_config.lambda_dt * masked_time_delta_loss(
+                real, fake2, mask)
+        if training_config.lambda_speed:
+            c2_total = c2_total + training_config.lambda_speed * masked_speed_profile_loss(
+                real, fake2, mask)
+        if training_config.lambda_dtc:
+            c2_total = c2_total + training_config.lambda_dtc * masked_time_delta_corr_loss(
+                real, fake2, mask)
 
         aux = {
             "cycle1_total": c1_total,
