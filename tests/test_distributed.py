@@ -185,6 +185,10 @@ def test_two_process_preemption_drill(tmp_path):
     assert 0 < phase1[0] < 500
     # The preemption checkpoint exists and the resume ran exactly the rest.
     assert phase2 == {0: 3, 1: 3}, f"resume did not complete: {phase2}"
+
+
+@pytest.mark.slow
+def test_two_process_gan_training_parity():
     """The PRODUCTION train_gan loop across two processes (VERDICT r3 #4):
     global_replicate / global_shard feed each process's local block via
     jax.make_array_from_process_local_data, and the final losses + generator

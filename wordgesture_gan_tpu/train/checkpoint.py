@@ -8,6 +8,7 @@ resume contract (restore everything, continue from epoch+1).
 
 from __future__ import annotations
 
+import itertools
 import os
 import shutil
 from pathlib import Path
@@ -24,6 +25,23 @@ def _as_host(tree):
     return jax.tree.map(np.asarray, jax.device_get(tree))
 
 
+# Barrier ids must not be reused against the coordination service; a local
+# monotonic counter stays in lockstep because every process calls _sync in
+# the same order the same number of times (it brackets collective saves).
+_SYNC_IDS = itertools.count()
+
+
+def _sync(tag: str) -> None:
+    """Cross-process barrier; no-op in single-process runs."""
+    if jax.process_count() <= 1:
+        return
+    from jax.experimental import multihost_utils
+
+    # (jax has no sync_global_processes; sync_global_devices is the
+    # process barrier — an allgather over all devices.)
+    multihost_utils.sync_global_devices(f"wgg:{tag}:{next(_SYNC_IDS)}")
+
+
 def _atomic_save(ckptr, path: Path, host_state: Dict) -> None:
     """Crash-safe directory save: write into a hidden sibling, then swap it
     in with directory renames. A kill at any point leaves either the old
@@ -31,23 +49,35 @@ def _atomic_save(ckptr, path: Path, host_state: Dict) -> None:
 
     (Before this, ``rmtree(path)`` then ``save`` had a destroy-then-write
     window: a crash in between silently reset resumes to epoch 0.)
+
+    Multi-process: EVERY process must reach this call — Orbax's
+    ``Checkpointer.save`` opens with a cross-process barrier ("this method
+    should be called by all hosts"); a process-0-only call deadlocks the
+    primary at ``save_start`` (found by the two-process preemption drill).
+    Orbax itself writes host numpy state from the primary only; the
+    directory swap around it is primary-only too, with a trailing barrier
+    so no process can race ahead and restore mid-swap.
     """
-    tmp = path.parent / f".{path.name}.tmp.{os.getpid()}"
+    primary = jax.process_index() == 0
+    tmp = path.parent / f".{path.name}.tmp"
     old = path.parent / f".{path.name}.old"
-    if tmp.exists():
+    if primary and tmp.exists():
         shutil.rmtree(tmp)
-    ckptr.save(tmp, host_state)
-    if old.exists() or old.is_symlink():
-        shutil.rmtree(old, ignore_errors=True)
-        if old.is_symlink():
-            old.unlink()
-    if path.is_symlink():
-        path.unlink()            # symlink unlink is atomic
-    elif path.exists():
-        os.rename(path, old)     # window here leaves ``.old`` → cleaned next save
-    os.rename(tmp, path)
-    if old.exists():
-        shutil.rmtree(old, ignore_errors=True)
+    _sync(f"preclean:{path.name}")
+    ckptr.save(tmp, host_state)      # collective: internal orbax barriers
+    if primary:
+        if old.exists() or old.is_symlink():
+            shutil.rmtree(old, ignore_errors=True)
+            if old.is_symlink():
+                old.unlink()
+        if path.is_symlink():
+            path.unlink()            # symlink unlink is atomic
+        elif path.exists():
+            os.rename(path, old)     # window here leaves ``.old`` → cleaned next save
+        os.rename(tmp, path)
+        if old.exists():
+            shutil.rmtree(old, ignore_errors=True)
+    _sync(f"swap:{path.name}")
 
 
 def save_checkpoint(state: Dict, checkpoint_dir: str, epoch: int, keep_latest: bool = True) -> None:
@@ -58,12 +88,11 @@ def save_checkpoint(state: Dict, checkpoint_dir: str, epoch: int, keep_latest: b
     one Orbax write instead of two, and the swap (symlink + os.replace) is
     atomic, so no crash can leave a run without a restorable ``latest``.
 
-    Multi-process runs: the state is fully replicated, so only process 0
-    writes (all hosts calling rmtree/rename on a shared checkpoint dir
-    would corrupt each other's swaps).
+    Multi-process runs: call on ALL processes at the same loop point (the
+    underlying Orbax save is a collective — see ``_atomic_save``); only
+    process 0 mutates the checkpoint directory tree.
     """
-    if jax.process_index() != 0:
-        return
+    primary = jax.process_index() == 0
     base = Path(checkpoint_dir).absolute()
     base.mkdir(parents=True, exist_ok=True)
     host_state = _as_host(state)
@@ -71,7 +100,7 @@ def save_checkpoint(state: Dict, checkpoint_dir: str, epoch: int, keep_latest: b
     epoch_name = f"epoch_{epoch + 1}"
     with ocp.PyTreeCheckpointer() as ckptr:
         _atomic_save(ckptr, base / epoch_name, host_state)
-    if keep_latest:
+    if keep_latest and primary:
         latest = base / "latest"
         tmp_link = base / f".latest.lnk.{os.getpid()}"
         if tmp_link.is_symlink() or tmp_link.exists():
@@ -83,13 +112,13 @@ def save_checkpoint(state: Dict, checkpoint_dir: str, epoch: int, keep_latest: b
             shutil.rmtree(latest)
         os.symlink(epoch_name, tmp_link)
         os.replace(tmp_link, latest)
+    _sync(f"latest:{epoch_name}")
 
 
 def save_named(state: Dict, checkpoint_dir: str, name: str) -> None:
     """Crash-safe standalone named snapshot (e.g. ``contrastive_latest``).
-    Process-0-only, like save_checkpoint."""
-    if jax.process_index() != 0:
-        return
+    Call on ALL processes (collective, like save_checkpoint); only process
+    0 writes."""
     base = Path(checkpoint_dir).absolute()
     base.mkdir(parents=True, exist_ok=True)
     host_state = _as_host(state)
