@@ -120,6 +120,36 @@ def test_monotone_time_head(inputs, gen_type):
     assert np.isfinite(gnorm) and gnorm > 0
 
 
+def test_masked_monotone_time_head(inputs):
+    """Variable-length monotone clock: with a pad_mask the time channel
+    spans 0→1 over the VALID segment (monotone within it, flat at 1 through
+    padding), and an all-ones mask reproduces the unmasked head exactly."""
+    from wordgesture_gan_tpu.models.generators import transformer_generator_apply
+
+    proto, z = inputs
+    cfg = _cfg("transformer", time_head="monotone")
+    params = generator_init(jax.random.PRNGKey(1), cfg)
+
+    n_valid = 20
+    mask = jnp.ones((B, 32)).at[:, n_valid:].set(0)
+    out = np.asarray(transformer_generator_apply(params, proto, z, cfg,
+                                                 pad_mask=mask))
+    t = out[:, :, 2]
+    np.testing.assert_allclose(t[:, 0], 0.0, atol=1e-7)
+    # The clock reaches 1 at the LAST VALID position, not at L-1 ...
+    np.testing.assert_allclose(t[:, n_valid - 1], 1.0, atol=1e-5)
+    assert (np.diff(t[:, :n_valid], axis=1) > 0).all()
+    # ... and stays flat at 1 through padding (consumers mask it out).
+    np.testing.assert_allclose(t[:, n_valid:], 1.0, atol=1e-5)
+
+    # All-ones mask == no mask (the fixed-length head is a special case).
+    ones = jnp.ones((B, 32))
+    np.testing.assert_allclose(
+        np.asarray(transformer_generator_apply(params, proto, z, cfg, pad_mask=ones)),
+        np.asarray(transformer_generator_apply(params, proto, z, cfg)),
+        atol=1e-6)
+
+
 def test_monotone_head_trains_through_two_cycle_step(inputs):
     proto, z = inputs
     mcfg = _cfg("bilstm", time_head="monotone")

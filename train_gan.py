@@ -97,9 +97,10 @@ def main() -> None:
     model_config = ModelConfig(
         generator_type="transformer" if args.variable_length else args.generator,
         compute_dtype=args.precision,
-        # The monotone head assumes a fixed-length clock (t[L-1]=1); the
-        # variable-length path masks trailing positions, so it keeps tanh.
-        time_head="tanh" if args.variable_length else args.time_head,
+        # Variable-length traces use the masked monotone head: softmax mass
+        # confined to valid increments, so the clock spans 0→1 over the
+        # valid segment (apply_time_head pad_mask).
+        time_head=args.time_head,
         **({"gen_hidden_dim": args.gen_hidden} if args.gen_hidden else {}))
     training_config = TrainingConfig(
         num_epochs=args.epochs, batch_size=args.batch_size,
@@ -221,6 +222,15 @@ def _train_variable(args, model_config, training_config, runtime_config) -> None
         train_ratio=training_config.train_ratio, seed=args.seed,
     )
     log(f"Data: {len(train_ds)} train, {len(test_ds)} test (variable-length)")
+
+    # Same architecture-knob sidecar as the fixed-length path, so
+    # eval_gan.py --variable-length restores the trained head.
+    from wordgesture_gan_tpu.train.checkpoint import save_run_metadata
+
+    save_run_metadata(args.checkpoint_dir,
+                      generator_type=model_config.generator_type,
+                      time_head=model_config.time_head,
+                      gen_hidden_dim=model_config.gen_hidden_dim)
 
     train_variable_gan(
         train_ds,

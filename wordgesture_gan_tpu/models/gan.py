@@ -42,7 +42,8 @@ def _compute_dtype(config) -> jnp.dtype:
     return jnp.dtype(getattr(config, "compute_dtype", "float32") if config is not None else "float32")
 
 
-def apply_time_head(raw: jnp.ndarray, mode: str) -> jnp.ndarray:
+def apply_time_head(raw: jnp.ndarray, mode: str,
+                    pad_mask: jnp.ndarray = None) -> jnp.ndarray:
     """Output-head activation for a generator's raw (B, L, 3) pre-activations.
 
     ``mode="tanh"`` is the reference head (models.py:123,163): tanh on all
@@ -52,7 +53,15 @@ def apply_time_head(raw: jnp.ndarray, mode: str) -> jnp.ndarray:
     warp* (where time dilates: corners, pauses) rather than 128 nearly-equal
     absolute timestamps whose finite differences are numerically hostile
     (see ModelConfig.time_head). Shapes and parameter layout are identical
-    in both modes; only this activation differs."""
+    in both modes; only this activation differs.
+
+    ``pad_mask`` (B, L), 1 = valid: variable-length traces confine the
+    softmax mass to valid increments (increment i, between positions i and
+    i+1, is valid iff position i+1 is), so the clock spans 0→1 over the
+    VALID segment and stays flat at 1 through padding. With an all-ones
+    mask this is identical to the unmasked head; for fully-invalid rows
+    (eval chunk padding) the max-subtracted softmax degrades to a uniform
+    ramp, which consumers mask out anyway."""
     if mode == "tanh":
         return jnp.tanh(raw)
     if mode != "monotone":
@@ -63,6 +72,8 @@ def apply_time_head(raw: jnp.ndarray, mode: str) -> jnp.ndarray:
     # normalization of bf16 exponentials loses the very resolution the
     # monotone head exists to provide.
     logits = raw[..., 1:, 2].astype(jnp.float32)
+    if pad_mask is not None:
+        logits = jnp.where(pad_mask[..., 1:] > 0, logits, -1e30)
     inc = jax.nn.softmax(logits, axis=-1)
     t = jnp.cumsum(inc, axis=-1)
     t = jnp.concatenate([jnp.zeros_like(t[..., :1]), t], axis=-1)

@@ -160,4 +160,5 @@ def transformer_generator_apply(
     h = _layernorm(params["ln_f"], h.astype(jnp.float32))
     from .gan import apply_time_head
 
-    return apply_time_head(dense(params["out"], h), config.time_head)
+    return apply_time_head(dense(params["out"], h), config.time_head,
+                           pad_mask=pad_mask)
