@@ -97,7 +97,15 @@ def main():
 
     E_matched = E[rows, cols]
     overshoot = (F_matched - E_matched) / np.maximum(E_matched, 1e-12)
-    assert (F_matched >= E_matched - 1e-9).all(), "fastdtw must upper-bound exact DTW"
+    # The inequality F >= E holds in exact arithmetic, but E is accumulated in
+    # fp32 on device (128+ additions), so allow a relative fp32-noise band.
+    viol = np.maximum(E_matched - F_matched, 0.0) / np.maximum(E_matched, 1e-12)
+    assert viol.max() < 1e-4, (
+        f"fastdtw must upper-bound exact DTW beyond fp32 noise "
+        f"(max relative violation {viol.max():.2e})")
+    if viol.max() > 0:
+        log(f"  fp32-noise violations: {int((viol > 0).sum())}/{n} pairs, "
+            f"max relative {viol.max():.2e} (within tolerance)")
 
     band_pct = 100.0 * (upper_w - exact_w) / exact_w
     record = {
